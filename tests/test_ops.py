@@ -1,0 +1,121 @@
+"""Unit tests: SSIM vs torch reference impl, grid_sample vs torch, knn,
+PLY round trip, SH."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from eogs2_tpu.ops.ssim import ssim, psnr
+from eogs2_tpu.ops.resample import grid_sample
+from eogs2_tpu.ops.knn import mean_knn_dist2
+from eogs2_tpu.ops.sh import RGB2SH, SH2RGB, sh_to_clamped_rgb
+from eogs2_tpu.io import ply
+
+
+def test_ssim_matches_torch():
+    """Cross-check against torch's conv2d-based SSIM (the reference impl)."""
+    import torch
+    import torch.nn.functional as F
+    from math import exp
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(3, 32, 40).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.randn(3, 32, 40).astype(np.float32), 0, 1)
+
+    def torch_ssim(img1, img2, window_size=11):
+        def gaussian(ws, sigma):
+            g = torch.tensor([exp(-((x - ws // 2) ** 2) / (2 * sigma**2)) for x in range(ws)])
+            return g / g.sum()
+
+        ch = img1.size(-3)
+        w1 = gaussian(window_size, 1.5).unsqueeze(1)
+        win = w1.mm(w1.t()).float().unsqueeze(0).unsqueeze(0)
+        win = win.expand(ch, 1, window_size, window_size).contiguous()
+        mu1 = F.conv2d(img1, win, padding=window_size // 2, groups=ch)
+        mu2 = F.conv2d(img2, win, padding=window_size // 2, groups=ch)
+        mu1_sq, mu2_sq, mu12 = mu1**2, mu2**2, mu1 * mu2
+        s1 = F.conv2d(img1 * img1, win, padding=window_size // 2, groups=ch) - mu1_sq
+        s2 = F.conv2d(img2 * img2, win, padding=window_size // 2, groups=ch) - mu2_sq
+        s12 = F.conv2d(img1 * img2, win, padding=window_size // 2, groups=ch) - mu12
+        c1, c2 = 0.01**2, 0.03**2
+        m = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+        return m.mean().item()
+
+    ref = torch_ssim(torch.from_numpy(a)[None], torch.from_numpy(b)[None])
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(ref - got) < 1e-5, (ref, got)
+
+
+def test_grid_sample_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(1)
+    img = rng.rand(4, 17, 23).astype(np.float32)
+    grid = rng.uniform(-1.2, 1.2, (9, 11, 2)).astype(np.float32)
+    ref = (
+        F.grid_sample(
+            torch.from_numpy(img)[None],
+            torch.from_numpy(grid)[None],
+            align_corners=True,
+            padding_mode="zeros",
+        )[0]
+        .numpy()
+    )
+    got = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_knn_exact_vs_windowed():
+    rng = np.random.RandomState(2)
+    pts = rng.rand(2000, 3).astype(np.float32)
+    exact = np.asarray(mean_knn_dist2(jnp.asarray(pts), exact_threshold=4096))
+    approx = np.asarray(mean_knn_dist2(jnp.asarray(pts), window=128, exact_threshold=1))
+    # Morton-windowed is approximate; demand high agreement
+    rel = np.abs(approx - exact) / np.maximum(exact, 1e-12)
+    # Morton-windowed knn is approximate (it exists to set *initial* scales);
+    # exact for the median point, close for the bulk.
+    assert np.median(rel) < 0.01
+    assert np.mean(rel < 0.2) > 0.8
+
+
+def test_sh_roundtrip_and_clamp():
+    rgb = np.array([[0.2, 0.5, 0.9]], np.float32)
+    sh = RGB2SH(jnp.asarray(rgb))
+    np.testing.assert_allclose(SH2RGB(sh), rgb, atol=1e-6)
+    out = sh_to_clamped_rgb(
+        0, jnp.asarray(sh)[:, :, None].transpose(0, 2, 1).reshape(1, 3, 1).transpose(0, 1, 2),
+        jnp.zeros((1, 3)), jnp.zeros(3),
+    )
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.RandomState(3)
+    n = 100
+    path = str(tmp_path / "g.ply")
+    data = dict(
+        xyz=rng.randn(n, 3).astype(np.float32),
+        f_dc=rng.randn(n, 1, 3).astype(np.float32),
+        f_rest=np.zeros((n, 0, 3), np.float32),
+        opacity=rng.randn(n, 1).astype(np.float32),
+        scaling=rng.randn(n, 3).astype(np.float32),
+        rotation=rng.randn(n, 4).astype(np.float32),
+    )
+    ply.save_gaussians_ply(path, data["xyz"], data["f_dc"], data["f_rest"],
+                           data["opacity"], data["scaling"], data["rotation"])
+    back = ply.load_gaussians_ply(path, sh_degree=0)
+    np.testing.assert_allclose(back["xyz"], data["xyz"], rtol=1e-6)
+    np.testing.assert_allclose(back["features_dc"], data["f_dc"], rtol=1e-6)
+    np.testing.assert_allclose(back["opacity"], data["opacity"], rtol=1e-6)
+    np.testing.assert_allclose(back["scaling"], data["scaling"], rtol=1e-6)
+    np.testing.assert_allclose(back["rotation"], data["rotation"], rtol=1e-6)
+
+
+def test_point_cloud_roundtrip(tmp_path):
+    rng = np.random.RandomState(4)
+    xyz = rng.randn(50, 3).astype(np.float32)
+    rgb = rng.rand(50, 3).astype(np.float32)
+    path = str(tmp_path / "pc.ply")
+    ply.write_point_cloud(path, xyz, rgb)
+    x2, r2 = ply.read_point_cloud(path)
+    np.testing.assert_allclose(x2, xyz, rtol=1e-6)
+    assert np.abs(r2 - rgb).max() < 1.0 / 255.0 + 1e-6
