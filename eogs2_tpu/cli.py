@@ -1,0 +1,259 @@
+"""Command-line orchestration.
+
+Parity target: the reference's entry points —
+  train_pan.py (train), render_pan.py (render artifacts),
+  eval/eval_dsm.py (DSM MAE), tsdf.py (TSDF fusion),
+  full_eval_pan.py (all four in sequence) — driven by preset x scene flags
+  instead of Hydra YAML composition:
+
+  python -m eogs2_tpu.cli train --scene-dir <dir> --preset eogsplus ...
+  python -m eogs2_tpu.cli render --scene-dir <dir> --model-path <out>
+  python -m eogs2_tpu.cli eval-dsm --pred <dsm.tif> --gt-dir <dir> --aoi JAX_068
+  python -m eogs2_tpu.cli tsdf --model-path <out> --scene-dir <dir>
+  python -m eogs2_tpu.cli full-eval --scene-dir <dir> --preset eogsplus
+  python -m eogs2_tpu.cli make-synthetic --out <dir>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _setup_jax(cache=True):
+    import jax
+
+    if cache:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def _load(args, load_pan=None, load_msi=None):
+    from eogs2_tpu.scene import load_scene
+
+    images_msi = args.images_msi or os.path.join(args.scene_dir, "images")
+    images_pan = args.images_pan or os.path.join(args.scene_dir, "images")
+    return load_scene(
+        args.scene_dir,
+        images_msi_path=images_msi,
+        images_pan_path=images_pan,
+        eval_split=True,
+        need_rescale=args.need_rescale,
+        target_density=args.target_density,
+        load_msi=load_msi if load_msi is not None else True,
+        load_pan=load_pan if load_pan is not None else False,
+        seed=args.seed,
+    )
+
+
+def cmd_train(args):
+    _setup_jax()
+    from eogs2_tpu.config import PRESETS
+    from eogs2_tpu.rasterizer import RasterizeConfig
+    from eogs2_tpu.train import Trainer
+    from eogs2_tpu.model import GaussianModel
+    from eogs2_tpu.io import ply as plyio
+
+    cfg = PRESETS[args.preset](args.scene_dir)
+    if args.iterations:
+        cfg.optimization.iterations = args.iterations
+        cfg.optimization.densify_until_iter = args.iterations
+    cfg.logging.model_path = args.model_path
+    cfg.seed = args.seed
+    scene = _load(args, load_pan=cfg.model.load_pan, load_msi=cfg.model.load_msi)
+    rcfg = RasterizeConfig(
+        pair_capacity=1 << args.log2_pair_capacity,
+        tile_capacity=args.tile_capacity,
+        tile_chunk=args.tile_chunk,
+    )
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg).setup()
+
+    mae_hook = None
+    if args.eval_during_training and os.path.exists(
+        os.path.join(args.scene_dir, "gt_heightfield.npy")
+    ):
+        from eogs2_tpu.eval.mae import MaeComputer
+        from eogs2_tpu.pipeline import evaluate_dsm_mae
+
+        mc = MaeComputer.from_synthetic(args.scene_dir, scale=scene.scene_scale)
+
+        def mae_hook(trainer, state, iteration):
+            model = GaussianModel(params=state.params, aux=state.aux)
+            mae, _, _, _ = evaluate_dsm_mae(model, scene, mc, rcfg)
+            print(f"[{iteration}] DSM MAE {mae:.3f} m", flush=True)
+
+        tr.eval_hook = mae_hook
+
+    state = tr.train()
+
+    os.makedirs(args.model_path, exist_ok=True)
+    it = int(state.step)
+    pc_dir = os.path.join(args.model_path, "point_cloud", f"iteration_{it}")
+    alive = np.asarray(state.aux.alive)
+    plyio.save_gaussians_ply(
+        os.path.join(pc_dir, "point_cloud.ply"),
+        np.asarray(state.params.xyz)[alive],
+        np.asarray(state.params.features_dc)[alive],
+        np.asarray(state.params.features_rest)[alive],
+        np.asarray(state.params.opacity)[alive],
+        np.asarray(state.params.scaling)[alive],
+        np.asarray(state.params.rotation)[alive],
+    )
+    # camera/shading parameters + config snapshot
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.join(args.model_path, "camera_params", f"iteration_{it}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        os.path.abspath(os.path.join(ckpt_dir, "shading")),
+        dict(jax.tree.map(np.asarray, state.shading.__dict__)),
+    )
+    ckptr.wait_until_finished()
+    with open(os.path.join(args.model_path, "cfg_args.json"), "w") as f:
+        json.dump({"preset": args.preset, "scene_dir": args.scene_dir,
+                   "iterations": it}, f)
+    with open(os.path.join(args.model_path, "metrics.json"), "w") as f:
+        json.dump(tr.metrics_history, f)
+    print(f"saved model to {args.model_path} at iteration {it}")
+    return 0
+
+
+def cmd_render(args):
+    _setup_jax()
+    from eogs2_tpu.render_artifacts import render_sets
+
+    return render_sets(args)
+
+
+def cmd_eval_dsm(args):
+    from eogs2_tpu.eval.mae import MaeComputer
+
+    if args.gt_heightfield:
+        mc = MaeComputer.from_synthetic(
+            os.path.dirname(args.gt_heightfield), scale=args.scale
+        )
+    else:
+        mc = MaeComputer.from_gt_dir(args.gt_dir, args.aoi_id,
+                                     filter_tree=args.filter_tree)
+    mae, diff, rdsm = mc.compute_mae_from_path(args.pred)
+    print(json.dumps({"mae": mae, "aoi": args.aoi_id}))
+    if args.out_dir:
+        from eogs2_tpu.io.geotiff import write_geotiff
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        write_geotiff(os.path.join(args.out_dir, "rdsm_diff.tif"),
+                      diff.astype(np.float32))
+        write_geotiff(os.path.join(args.out_dir, "rdsm.tif"),
+                      rdsm.astype(np.float32))
+    return 0
+
+
+def cmd_tsdf(args):
+    _setup_jax()
+    from eogs2_tpu.eval.tsdf import run_tsdf_cli
+
+    return run_tsdf_cli(args)
+
+
+def cmd_full_eval(args):
+    rc = cmd_train(args)
+    if rc:
+        return rc
+    args.iteration = -1
+    rc = cmd_render(args)
+    return rc
+
+
+def cmd_make_synthetic(args):
+    from eogs2_tpu.data.synthetic import generate_scene
+
+    generate_scene(
+        args.out,
+        n_views=args.n_views,
+        width=args.width,
+        height=args.height,
+        hf_res=args.hf_res,
+        n_buildings=args.n_buildings,
+        seed=args.seed,
+        scale=args.scale,
+    )
+    print(f"synthetic scene written to {args.out}")
+    return 0
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="eogs2_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--scene-dir", required=False, default="")
+        sp.add_argument("--images-msi", default=None)
+        sp.add_argument("--images-pan", default=None)
+        sp.add_argument("--model-path", default="output/run")
+        sp.add_argument("--preset", default="baseogs")
+        sp.add_argument("--iterations", type=int, default=0)
+        sp.add_argument("--seed", type=int, default=1337)
+        sp.add_argument("--need-rescale", action="store_true")
+        sp.add_argument("--target-density", type=float, default=0.13)
+        sp.add_argument("--log2-pair-capacity", type=int, default=20)
+        sp.add_argument("--tile-capacity", type=int, default=1024)
+        sp.add_argument("--tile-chunk", type=int, default=64)
+        sp.add_argument("--eval-during-training", action="store_true")
+        sp.add_argument("--iteration", type=int, default=-1)
+
+    for name, fn in [
+        ("train", cmd_train),
+        ("render", cmd_render),
+        ("full-eval", cmd_full_eval),
+    ]:
+        sp = sub.add_parser(name)
+        common(sp)
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("eval-dsm")
+    sp.add_argument("--pred", required=True)
+    sp.add_argument("--gt-dir", default="")
+    sp.add_argument("--aoi-id", default="")
+    sp.add_argument("--gt-heightfield", default="")
+    sp.add_argument("--scale", type=float, default=25.0)
+    sp.add_argument("--filter-tree", action="store_true")
+    sp.add_argument("--out-dir", default="")
+    sp.set_defaults(fn=cmd_eval_dsm)
+
+    sp = sub.add_parser("tsdf")
+    common(sp)
+    sp.add_argument("--vox-size", type=float, default=0.5)
+    sp.add_argument("--trunc-margin-fact", type=float, default=4.0)
+    sp.set_defaults(fn=cmd_tsdf)
+
+    sp = sub.add_parser("make-synthetic")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--n-views", type=int, default=9)
+    sp.add_argument("--width", type=int, default=128)
+    sp.add_argument("--height", type=int, default=128)
+    sp.add_argument("--hf-res", type=int, default=256)
+    sp.add_argument("--n-buildings", type=int, default=6)
+    sp.add_argument("--scale", type=float, default=25.0)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_make_synthetic)
+    return p
+
+
+def main(argv=None):
+    global jax
+    import jax  # noqa
+
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

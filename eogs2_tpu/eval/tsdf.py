@@ -1,0 +1,314 @@
+"""TSDF multi-view depth fusion + DSM extraction (jittable).
+
+Parity target: ``tsdf.py`` (RangeImageEOGS + TSDFVolume):
+  * per-view slanted altitude map -> SDF sampler along the view direction
+    (tsdf.py:325-368), with surface normals from robust one-sided finite
+    differences on 5x5 windows (tsdf.py:243-320) and weights =
+    cos(view, normal) clamped to [0,1].
+  * weighted running-average TSDF integration (tsdf.py:459-520).
+  * priors: floor occupied, isolated-voxel removal by 3^3 convolution,
+    fill-below-surface (tsdf.py:602-637).
+  * DSM extraction: highest tsdf<0 voxel per column -> flatten
+    (tsdf.py:530-600).
+
+Everything is pure jnp over a fixed [Nx,Ny,Nz] voxel grid; the whole
+integrate loop is a lax.fori over stacked view tensors, so it jits once and
+can be sharded over voxel slabs on a mesh.
+
+NOTE the reference uses a pixel-center UV convention here —
+(idx + 0.5)/size * 2 - 1 — that differs from the rasterizer's ndc2Pix; we
+reproduce it faithfully (tsdf.py:247-253).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eogs2_tpu.ops.resample import grid_sample
+
+
+class TsdfViews(NamedTuple):
+    """Stacked per-view data ([V, ...])."""
+
+    coefs: jnp.ndarray  # [V,3,3]
+    inters: jnp.ndarray  # [V,3]
+    altitudes: jnp.ndarray  # [V,H,W]
+
+
+def _view_world_positions(coef, inter, altitude):
+    """World position of each pixel's surface (tsdf.py:243-258 convention)."""
+    h, w = altitude.shape
+    u = (jnp.arange(w) + 0.5) / w * 2.0 - 1.0
+    v = (jnp.arange(h) + 0.5) / h * 2.0 - 1.0
+    # reference meshgrid is (U, V) with indexing "ij" over (width, height),
+    # then transposes altitude; equivalently build [H, W] directly:
+    uu, vv = jnp.meshgrid(u, v, indexing="xy")
+    view = jnp.stack([uu, vv, altitude], axis=-1)  # [H,W,3]
+    ainv = jnp.linalg.inv(coef)
+    return (view - inter) @ ainv.T  # [H,W,3]
+
+
+def _robust_one_sided(wins, axis):
+    """Robust one-sided finite difference along `axis` (-2=y, -1=x) of a
+    [H,W,3,5,5] window stack (tsdf.py:272-305)."""
+    if axis == -1:  # x: slice k1=2 (center row), vary k2
+        line = wins[..., 2, :]  # [H,W,3,5]
+    else:  # y: slice k2=2 (center col), vary k1
+        line = wins[..., :, 2]
+    center = line[..., 2]
+    pred_left = line[..., 0] + 2.0 * (line[..., 1] - line[..., 0])
+    pred_right = line[..., 4] + 2.0 * (line[..., 3] - line[..., 4])
+    err_l = jnp.linalg.norm(pred_left - center, axis=-1)
+    err_r = jnp.linalg.norm(pred_right - center, axis=-1)
+    d_l = (center - line[..., 0]) * 0.5
+    d_r = (line[..., 4] - center) * 0.5
+    return jnp.where((err_l < err_r)[..., None], d_l, d_r)
+
+
+def reconstruct_normals(coef, inter, altitude):
+    """[H,W,3] unit surface normals + [H,W] cos-angle weights."""
+    pos = _view_world_positions(coef, inter, altitude)  # [H,W,3]
+    h, w, _ = pos.shape
+    padded = jnp.pad(pos, ((2, 2), (2, 2), (0, 0)))  # zero pad (F.unfold pads 0)
+    # build 5x5 windows [H,W,3,5,5] with k1 = y offset, k2 = x offset
+    wins = jnp.stack(
+        [
+            jnp.stack(
+                [padded[dy : dy + h, dx : dx + w, :] for dx in range(5)], axis=-1
+            )
+            for dy in range(5)
+        ],
+        axis=-2,
+    )  # [H,W,3,k1,k2]
+    dx = _robust_one_sided(wins, axis=-1)
+    dy = _robust_one_sided(wins, axis=-2)
+    n = jnp.cross(dx, dy)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
+    view_dir = jnp.linalg.solve(coef, jnp.array([0.0, 0.0, 1.0]))
+    view_dir = view_dir / jnp.maximum(jnp.linalg.norm(view_dir), 1e-6)
+    cosang = jnp.einsum("hwc,c->hw", n, -view_dir)
+    return n, jnp.clip(cosang, 0.0, 1.0)
+
+
+def sample_sdf(coef, inter, altitude, weights_img, world_pts, model_scale):
+    """(sdf [N], valid [N], weights [N]) — tsdf.py:325-368."""
+    pts = world_pts / model_scale
+    view = pts @ coef.T + inter  # [N,3]
+    feats = jnp.stack([altitude, weights_img], axis=0)  # [2,H,W]
+    grid = view[None, :, :2]  # [1,N,2]
+    samp = grid_sample(feats, grid, align_corners=True)[:, 0, :]  # [2,N]
+    alt_s, w_s = samp[0], samp[1]
+    valid = jnp.all(jnp.abs(view[:, :2]) <= 1.0, axis=1)
+    view_new = view.at[:, 2].set(alt_s)
+    ainv = jnp.linalg.inv(coef)
+    world_new = (view_new - inter) @ ainv.T
+    dist = jnp.linalg.norm(world_new - pts, axis=1)
+    sdf = dist * jnp.sign(view[:, 2] - alt_s) * model_scale
+    return sdf, valid, w_s
+
+
+class TSDFVolume:
+    def __init__(self, vol_bounds: np.ndarray, vox_size: float,
+                 trunc_margin_fact: float):
+        """vol_bounds [3,2] in meters (already scaled)."""
+        self.vox_size = float(vox_size)
+        self.trunc = trunc_margin_fact * vox_size
+        vb = np.asarray(vol_bounds, np.float64)
+        nvox = np.ceil((vb[:, 1] - vb[:, 0]) // vox_size + 1).astype(int)
+        self.shape = tuple(int(x) for x in nvox)
+        starts = vb[:, 0]
+        ends = vb[:, 0] + nvox * vox_size
+        self.axes = [
+            np.linspace(starts[i], ends[i], self.shape[i]) for i in range(3)
+        ]
+        grids = np.meshgrid(*self.axes, indexing="ij")
+        self.world_coords = jnp.asarray(
+            np.stack(grids, axis=-1).reshape(-1, 3), jnp.float32
+        )
+        self.tsdf = jnp.ones(self.shape, jnp.float32)
+        self.weight = jnp.zeros(self.shape, jnp.float32)
+
+    def integrate_views(self, views: TsdfViews, model_scale: float):
+        """Fused integration of all views (lax.fori over the view axis)."""
+        self.tsdf, self.weight = _integrate_all(
+            views, self.world_coords, self.tsdf, self.weight,
+            jnp.float32(model_scale), self.trunc,
+        )
+
+    def apply_prior(self):
+        self.tsdf, self.weight = _apply_prior(self.tsdf, self.weight)
+
+    def extract_dsm_points(self):
+        """[Nx*Ny, 3] cloud of (x, y, z_surface) in volume coordinates."""
+        idx = jnp.arange(self.shape[-1])
+        v2 = (self.tsdf < 0) * idx
+        indices = jnp.argmax(v2, axis=-1)
+        z = jnp.asarray(self.axes[-1], jnp.float32)[indices]
+        xg, yg = np.meshgrid(self.axes[0], self.axes[1], indexing="ij")
+        cloud = np.stack(
+            [xg.reshape(-1), yg.reshape(-1), np.asarray(z).reshape(-1)], axis=1
+        )
+        return cloud
+
+
+@jax.jit
+def _integrate_one(coef, inter, altitude, world_coords, tsdf, weight,
+                   model_scale, trunc):
+    _, w_img = reconstruct_normals(coef, inter, altitude)
+    sdf, valid, w_s = sample_sdf(coef, inter, altitude, w_img, world_coords,
+                                 model_scale)
+    mask = valid & (sdf >= -trunc)
+    tval = jnp.minimum(1.0, sdf / trunc)
+    shape = tsdf.shape
+    tval = tval.reshape(shape)
+    mask = mask.reshape(shape)
+    w_s = w_s.reshape(shape)
+    w_new = weight + jnp.where(mask, w_s, 0.0)
+    t_new = jnp.where(
+        mask & (w_new > 0),
+        (weight * tsdf + w_s * tval) / jnp.maximum(w_new, 1e-12),
+        tsdf,
+    )
+    return t_new, w_new
+
+
+def _integrate_all(views, world_coords, tsdf, weight, model_scale, trunc):
+    def body(i, carry):
+        t, w = carry
+        return _integrate_one(
+            views.coefs[i], views.inters[i], views.altitudes[i],
+            world_coords, t, w, model_scale, trunc,
+        )
+
+    return jax.lax.fori_loop(0, views.coefs.shape[0], body, (tsdf, weight))
+
+
+@jax.jit
+def _apply_prior(tsdf, weight):
+    untouched = (weight == 0) & (tsdf == 1.0)
+    # floor occupied
+    tsdf = tsdf.at[:, :, 0].set(-1.0)
+    weight = weight.at[:, :, 0].set(1.0)
+    occ = tsdf <= 0
+    # remove isolated occupied voxels (3^3 neighborhood count == 1)
+    k = jnp.ones((1, 1, 3, 3, 3), jnp.float32)
+    occ_conv = jax.lax.conv_general_dilated(
+        occ[None, None].astype(jnp.float32), k, (1, 1, 1), "SAME"
+    )[0, 0]
+    isolated = (occ_conv == 1) & occ
+    tsdf = jnp.where(isolated, 1.0, tsdf)
+    weight = jnp.where(isolated, 0.0, weight)
+    # fill below surface
+    occ = tsdf <= 0
+    idx = jnp.arange(tsdf.shape[-1])
+    v2 = occ * idx
+    top = jnp.argmax(v2, axis=-1)  # [Nx,Ny] highest occupied index
+    below = idx[None, None, :] < top[:, :, None]
+    fill = below & untouched
+    tsdf = jnp.where(fill, -1.0, tsdf)
+    weight = jnp.where(fill, 1.0, weight)
+    return tsdf, weight
+
+
+def run_tsdf(
+    scene_dir: str,
+    altitude_maps: dict,
+    model_scale: float,
+    min_world,
+    max_world,
+    scene_shift,
+    vox_size: float = 0.5,
+    trunc_margin_fact: float = 4.0,
+    resolution: float = 0.5,
+):
+    """Full TSDF pipeline on in-memory altitude maps {view_name: (coef,
+    inter, altitude[H,W])}. Returns (profile, dsm)."""
+    from eogs2_tpu.eval.dsm import flatten_cloud
+    from eogs2_tpu.io.geotiff import Affine
+
+    vol_bounds = np.stack([np.asarray(min_world), np.asarray(max_world)], axis=1)
+    vol_bounds = vol_bounds * model_scale
+    vol = TSDFVolume(vol_bounds, vox_size, trunc_margin_fact)
+    coefs, inters, alts = [], [], []
+    for name, (coef, inter, alt) in altitude_maps.items():
+        coefs.append(coef)
+        inters.append(inter)
+        alts.append(alt)
+    views = TsdfViews(
+        coefs=jnp.asarray(np.stack(coefs), jnp.float32),
+        inters=jnp.asarray(np.stack(inters), jnp.float32),
+        altitudes=jnp.asarray(np.stack(alts), jnp.float32),
+    )
+    vol.integrate_views(views, model_scale)
+    vol.apply_prior()
+    cloud = vol.extract_dsm_points()
+    cloud = cloud + np.asarray(scene_shift)
+
+    xmin, xmax = cloud[:, 0].min(), cloud[:, 0].max()
+    ymin, ymax = cloud[:, 1].min(), cloud[:, 1].max()
+    xoff = np.floor(xmin / resolution) * resolution
+    xsize = int(1 + np.floor((xmax - xoff) / resolution))
+    yoff = np.ceil(ymax / resolution) * resolution
+    ysize = int(1 - np.floor((ymin - yoff) / resolution))
+    dsm = flatten_cloud(cloud, xoff, yoff, resolution, xsize, ysize, radius=1)
+    profile = {
+        "height": dsm.shape[0],
+        "width": dsm.shape[1],
+        "transform": Affine.from_origin(xoff, yoff, resolution, resolution),
+    }
+    return profile, dsm
+
+
+def run_tsdf_cli(args):
+    """CLI: read rendered altitude maps from the model dir, fuse, evaluate."""
+    import json
+    import os
+
+    from eogs2_tpu.io.geotiff import read_geotiff, write_geotiff
+    from eogs2_tpu.scene import load_scene
+
+    scene = load_scene(
+        args.scene_dir,
+        images_msi_path=args.images_msi or os.path.join(args.scene_dir, "images"),
+        images_pan_path=args.images_pan or os.path.join(args.scene_dir, "images"),
+        eval_split=True,
+        load_pan=False,
+    )
+    pc_root = os.path.join(args.model_path, "point_cloud")
+    it = max(int(d.split("_")[-1]) for d in os.listdir(pc_root)) \
+        if args.iteration == -1 else args.iteration
+    alt_dir = os.path.join(args.model_path, "train_opNone", f"ours_{it}", "altitude")
+    with open(os.path.join(args.scene_dir, "affine_models.json")) as f:
+        metas = json.load(f)
+    if isinstance(metas, dict):
+        metas = metas.get("pan", next(iter(metas.values())))
+    md0 = metas[0]["model"]
+    maps = {}
+    for v in scene.train_views:
+        p = os.path.join(alt_dir, v.name + ".tif")
+        if not os.path.exists(p):
+            continue
+        alt, _ = read_geotiff(p)
+        maps[v.name] = (
+            np.asarray(v.camera.affine[:, :3]),
+            np.asarray(v.camera.affine[:, 3]),
+            np.asarray(alt, np.float32),
+        )
+    assert maps, f"no altitude maps found in {alt_dir}"
+    profile, dsm = run_tsdf(
+        args.scene_dir, maps, md0["scale"], md0["min_world"], md0["max_world"],
+        md0["center"], vox_size=args.vox_size,
+        trunc_margin_fact=args.trunc_margin_fact,
+        resolution=0.3 if "IARPA" in args.scene_dir else 0.5,
+    )
+    out_dir = os.path.join(args.model_path, "test_opNone", f"ours_{it}", "tsdf")
+    os.makedirs(out_dir, exist_ok=True)
+    write_geotiff(os.path.join(out_dir, "dsm.tif"), dsm.astype(np.float32),
+                  transform=profile["transform"])
+    print(f"tsdf dsm written to {out_dir}/dsm.tif")
+    return 0

@@ -85,6 +85,7 @@ def rasterize(
     height: int,
     config: RasterizeConfig = RasterizeConfig(),
     alive=None,
+    mean2d_ndc_offset=None,
 ):
     """Render C-channel features through the affine camera.
 
@@ -97,6 +98,10 @@ def rasterize(
       affine: [3,4] world->(u_ndc, v_ndc, altitude) camera matrix.
       bg: [C] background, composited as out + T_final * bg.
       alive: optional [N] bool; dead capacity slots are culled.
+      mean2d_ndc_offset: optional [N,2] zeros whose gradient is the
+        viewspace-point gradient in NDC units — the JAX equivalent of the
+        reference's retain_grad on screenspace_points (renderer.py:31-40),
+        used for densification statistics.
 
     Returns RasterOut. Differentiable wrt all float inputs incl. `affine`.
     """
@@ -111,6 +116,9 @@ def rasterize(
         antialiasing=config.antialiasing,
         alive=alive,
     )
+    if mean2d_ndc_offset is not None:
+        px_scale = jnp.array([0.5 * width, 0.5 * height], dtype=prep.mean2d.dtype)
+        prep = prep._replace(mean2d=prep.mean2d + mean2d_ndc_offset * px_scale)
 
     binning = bin_gaussians(
         jax.lax.stop_gradient(prep),

@@ -1,0 +1,610 @@
+"""Training: one pure jitted step + a thin host loop.
+
+Parity target: ``train_pan.py:97-811`` (the per-iteration recipe: main render
+-> sun-camera shadow resample -> shading pipeline -> random-camera
+consistency -> weighted loss sum -> Adam steps -> pruning / densification /
+opacity reset), re-architected TPU-first:
+
+  * ONE jitted step serves every camera: per-view data (affine matrices,
+    GT images, shading params) are stacked arrays indexed by a traced
+    view id — no per-camera nn.Modules, no retracing.
+  * iteration-gated loss terms stay compiled: gates enter as 0/1 float
+    scalars that multiply the loss weights. Only the *structurally*
+    different phases (sun/random renders on, pose learning on) are static
+    flags — at most a handful of compiled variants per run.
+  * densify/prune/opacity-reset are masked fixed-capacity updates
+    (densify.py) applied between steps, surgically editing Adam moments in
+    the optax state — the functional equivalent of the reference's
+    optimizer-state surgery (gaussian_model.py:451-539).
+  * the densification statistic (viewspace-gradient norm,
+    gaussian_model.py:719-723) is obtained by differentiating wrt a zero
+    NDC-offset input — the JAX equivalent of retain_grad on
+    screenspace_points (renderer.py:31-40).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from eogs2_tpu import losses as L
+from eogs2_tpu.cameras import AffineCamera
+from eogs2_tpu.config import TrainConfig
+from eogs2_tpu.densify import (
+    densify_clone,
+    densify_split,
+    prune_mask,
+    apply_prune,
+    prune_transparent,
+    reset_densification_stats,
+    reset_opacity_with_moments,
+)
+from eogs2_tpu.model import GaussianAux, GaussianModel, GaussianParams, add_densification_stats, init_from_points
+from eogs2_tpu.ops.projection import TILE
+from eogs2_tpu.ops.resample import grid_sample
+from eogs2_tpu.rasterizer import RasterizeConfig, rasterize
+from eogs2_tpu.scene import SceneData
+from eogs2_tpu.shading import CameraShadingParams, init_shading_params, render_pipeline
+from eogs2_tpu.ops.sh import SH2RGB
+
+import optax
+
+
+@struct.dataclass
+class SceneTensors:
+    """Per-view constants stacked on device ([V, ...])."""
+
+    affines: jnp.ndarray  # [V,3,4]
+    sun_affines: jnp.ndarray  # [V,3,4]
+    cam2sun: jnp.ndarray  # [V,3,3]
+    alt_bounds: jnp.ndarray  # [V,2]
+    images: jnp.ndarray  # [V,C,Hp,Wp] zero-padded GT
+    image_valid: jnp.ndarray  # [V,1,Hp,Wp]
+    centerofscene: jnp.ndarray  # [3]
+    native_wh: tuple = struct.field(pytree_node=False, default=(0, 0))
+
+
+@struct.dataclass
+class TrainState:
+    params: GaussianParams
+    aux: GaussianAux
+    shading: CameraShadingParams
+    g_opt: Any  # optax state for Gaussian params
+    c_opt: Any  # optax state for shading params
+    step: jnp.ndarray
+
+
+class Phase(NamedTuple):
+    """Static structure flags -> one compiled step variant each."""
+
+    enable_sun: bool = False
+    enable_random: bool = False
+    learn_pose: bool = False
+
+
+def _pad_to_tile(img, valid_shape):
+    c, h, w = img.shape
+    hp = ((h + TILE - 1) // TILE) * TILE
+    wp = ((w + TILE - 1) // TILE) * TILE
+    out = np.zeros((c, hp, wp), img.dtype)
+    out[:, :h, :w] = img
+    mask = np.zeros((1, hp, wp), np.float32)
+    mask[:, :h, :w] = 1.0
+    return out, mask
+
+
+def build_scene_tensors(scene: SceneData, repeat_gt: bool = False) -> SceneTensors:
+    views = [v for v in scene.train_views]
+    w0, h0 = views[0].camera.width, views[0].camera.height
+    affines, suns, c2s, bounds, imgs, masks = [], [], [], [], [], []
+    for v in views:
+        assert (v.camera.width, v.camera.height) == (w0, h0), (
+            "all train views must share a size (pad offline otherwise)"
+        )
+        img = v.image
+        assert img is not None, f"train view {v.name} has no image"
+        if img.shape[0] == 1 and repeat_gt:
+            img = np.repeat(img, 3, axis=0)
+        pimg, pmask = _pad_to_tile(img.astype(np.float32), None)
+        imgs.append(pimg)
+        masks.append(pmask)
+        affines.append(np.asarray(v.camera.affine))
+        suns.append(np.asarray(v.camera.sun_affine))
+        c2s.append(np.asarray(v.camera.camera_to_sun))
+        bounds.append(np.asarray(v.camera.altitude_bounds))
+    return SceneTensors(
+        affines=jnp.asarray(np.stack(affines)),
+        sun_affines=jnp.asarray(np.stack(suns)),
+        cam2sun=jnp.asarray(np.stack(c2s)),
+        alt_bounds=jnp.asarray(np.stack(bounds)),
+        images=jnp.asarray(np.stack(imgs)),
+        image_valid=jnp.asarray(np.stack(masks)),
+        centerofscene=jnp.asarray(
+            np.asarray(views[0].camera.centerofscene, np.float32)
+        ),
+        native_wh=(w0, h0),
+    )
+
+
+def native_uv_grid(width_native, height_native, width_padded, height_padded):
+    """UV grid in the reference's linspace(-1,1,native) convention, extended
+    over the padded canvas (affine_cameras.py:139-143)."""
+    u = (2.0 * jnp.arange(width_padded) / (width_native - 1)) - 1.0
+    v = (2.0 * jnp.arange(height_padded) / (height_native - 1)) - 1.0
+    uu, vv = jnp.meshgrid(u, v, indexing="xy")
+    return jnp.stack([uu, vv], axis=-1)  # [Hp,Wp,2]
+
+
+def make_train_step(
+    consts: SceneTensors,
+    cfg: TrainConfig,
+    raster_cfg: RasterizeConfig,
+    phase: Phase,
+    gauss_tx,
+    cam_tx,
+    pan_mode: Optional[str],
+    spatial_lr_scale: float,
+):
+    """Build the jitted step for one Phase. Returns step(state, view_idx,
+    key, gates) -> (state, metrics)."""
+    o = cfg.optimization
+    wn, hn = consts.native_wh
+    wp = consts.images.shape[-1]
+    hp = consts.images.shape[-2]
+    uv_grid = native_uv_grid(wn, hn, wp, hp)
+    use_cc = cfg.model.camera_params.use_cc
+    use_exposure = cfg.model.camera_params.use_exposure
+    use_shadow = cfg.model.camera_params.use_shadow
+
+    lr_tree = GaussianParams(
+        xyz=o.position_lr_init * spatial_lr_scale,
+        features_dc=o.feature_lr,
+        features_rest=o.feature_lr / 20.0,
+        scaling=o.scaling_lr,
+        rotation=o.rotation_lr,
+        opacity=o.opacity_lr,
+    )
+
+    def build_camera(affine, view_idx):
+        return AffineCamera(
+            affine=affine,
+            sun_affine=consts.sun_affines[view_idx],
+            camera_to_sun=consts.cam2sun[view_idx],
+            altitude_bounds=consts.alt_bounds[view_idx],
+            centerofscene=consts.centerofscene,
+            width=wn,
+            height=hn,
+        )
+
+    def loss_fn(gparams, sparams, m2d_off, aux, view_idx, key, gates):
+        model = GaussianModel(params=gparams, aux=aux, sh_degree=cfg.model.sh_degree)
+        k_bg, k_rand = jax.random.split(key)
+
+        affine = consts.affines[view_idx]
+        if phase.learn_pose:
+            affine = affine.at[:, 3].add(sparams.last_row[view_idx, :3])
+        cam = build_camera(affine, view_idx)
+
+        if o.random_background:
+            bg = jax.random.uniform(k_bg, (5,))
+        else:
+            bg = jnp.zeros((5,)) + (1.0 if cfg.model.white_background else 0.0)
+        if o.copy_background_firschan:
+            bg = bg.at[1:3].set(bg[0])
+        bg = bg.at[3].set(cam.altitude_bounds[0])
+        bg = bg.at[4].set(0.0)
+
+        # ---- main render (at the padded canvas) ----
+        rgb = SH2RGB(gparams.features_dc[:, 0, :])
+        alt = cam.ecef_to_uva(gparams.xyz)[:, 2:3]
+        feats = jnp.concatenate([rgb, alt, jnp.ones_like(alt)], axis=-1)
+        scaling = jnp.exp(gparams.scaling)
+        opacity = jax.nn.sigmoid(gparams.opacity[:, 0])
+        cam_r = cam.resize_canvas(wp, hp)
+        out = rasterize(
+            gparams.xyz, scaling, gparams.rotation, opacity, feats,
+            cam_r.affine, bg, wp, hp, raster_cfg, alive=aux.alive,
+            mean2d_ndc_offset=m2d_off,
+        )
+        raw_render = out.image[:3]
+        altitude = out.image[3]
+        acc_opacity = out.image[4]
+        rendered_uva = jnp.concatenate([uv_grid, altitude[..., None]], axis=-1)
+
+        def render_virtual(vcam, cam2virt, vw, vh):
+            vfeats = jnp.concatenate(
+                [rgb, vcam.ecef_to_uva(gparams.xyz)[:, 2:3], jnp.ones_like(alt)],
+                axis=-1,
+            )
+            vout = rasterize(
+                gparams.xyz, scaling, gparams.rotation, opacity, vfeats,
+                vcam.affine, bg, vw, vh, raster_cfg, alive=aux.alive,
+            )
+            v_uv = jnp.einsum("ij,hwj->hwi", cam2virt, rendered_uva)[..., :2]
+            samp = grid_sample(vout.image[:4], v_uv, align_corners=True)
+            alt_s = jnp.where(
+                jnp.any(jnp.abs(v_uv) > 1.0, axis=-1), -100.0, samp[3]
+            )
+            return samp[:3], alt_s, v_uv
+
+        terms = {}
+        sun_altitude_diff = None
+        if phase.enable_sun:
+            sun_cam, cam2sun = cam.sun_camera(f=2)
+            # pad the 2x canvas to tile multiples via resize_canvas
+            sw = ((sun_cam.width + TILE - 1) // TILE) * TILE
+            sh_ = ((sun_cam.height + TILE - 1) // TILE) * TILE
+            sun_rgb, sun_alt, sun_uv = render_virtual(
+                sun_cam.resize_canvas(sw, sh_), cam2sun, sw, sh_
+            )
+            sun_altitude_diff = altitude - sun_alt
+            alt_t, rgb_t = L.suncamera_loss(raw_render, sun_rgb, sun_altitude_diff, sun_uv)
+            terms["L_sun_altitude_resample"] = gates["sun_resample"] * alt_t
+            terms["L_sun_rgb_resample"] = gates["sun_resample"] * rgb_t
+
+        # ---- shading pipeline ----
+        shaded_out = render_pipeline(
+            raw_render,
+            sun_altitude_diff,
+            sparams.cc_weight[view_idx],
+            sparams.cc_bias[view_idx],
+            sparams.inshadow[view_idx],
+            use_cc=use_cc,
+            use_shadow=use_shadow,
+            exposure=sparams.exposure[view_idx],
+            use_exposure=use_exposure,
+            pan_mode=pan_mode,
+            pan_weight=sparams.msi_to_pan_weight[view_idx],
+            pan_bias=sparams.msi_to_pan_bias[view_idx],
+            weird_pan_setup=cfg.model.weird_pan_setup,
+        )
+        image = shaded_out["final"]
+        gt_image = consts.images[view_idx]
+        valid = consts.image_valid[view_idx]
+
+        # ---- random virtual camera consistency ----
+        if phase.enable_random:
+            new_cam, cam2new = cam.random_camera(k_rand, o.virtual_camera_extent)
+            new_rgb, new_alt, new_uv = render_virtual(
+                new_cam.resize_canvas(wp, hp), cam2new, wp, hp
+            )
+            rgb_ref = raw_render  # 'rawrender' render type (train.yaml default)
+            alt_t, rgb_t = L.randomcam_loss(altitude, new_alt, rgb_ref, new_rgb, new_uv)
+            terms["L_new_altitude_resample"] = gates["new_resample"] * alt_t
+            terms["L_new_rgb_resample"] = gates["new_resample"] * rgb_t
+
+        # ---- scalar regularizers ----
+        terms["L_opacity"] = gates["opacity"] * L.opacity_loss(
+            opacity, aux.alive, gates["init_count"]
+        )
+        terms["L_opacity_radii"] = gates["opacity_radii"] * L.radii_opacity_loss(
+            opacity, out.radii, gates["init_count"]
+        )
+        terms["L_erank"] = gates["erank"] * L.erank_loss(scaling, aux.alive)
+        terms["L_TV_altitude"] = gates["tv"] * L.tv_altitude_loss(altitude)
+        terms["L_accumulated_opacity"] = gates["acc_opacity"] * (
+            L.accumulated_opacity_loss(acc_opacity, valid[0])
+        )
+        if shaded_out["shadowmap"] is not None:
+            terms["L_translucentshadows"] = L.translucent_shadows_loss(
+                shaded_out["shadowmap"], valid[0]
+            )
+        else:
+            terms["L_translucentshadows"] = jnp.float32(0.0)
+
+        photometric, ll1 = L.photometric_loss(
+            image, gt_image, o.lambda_dssim, mask=valid
+        )
+        terms["Lphotometric"] = photometric
+
+        total = (
+            o.w_L_photometric * terms["Lphotometric"]
+            + o.w_L_opacity * terms["L_opacity"]
+            + o.w_L_opacity_radii * terms["L_opacity_radii"]
+            + o.w_L_sun_altitude_resample * terms.get("L_sun_altitude_resample", 0.0)
+            + o.w_L_sun_rgb_resample * terms.get("L_sun_rgb_resample", 0.0)
+            + o.w_L_new_altitude_resample * terms.get("L_new_altitude_resample", 0.0)
+            + o.w_L_new_rgb_resample * terms.get("L_new_rgb_resample", 0.0)
+            + o.w_L_TV_altitude * terms["L_TV_altitude"]
+            + o.w_L_erank * terms["L_erank"]
+            + o.w_L_translucentshadows * terms["L_translucentshadows"]
+            + o.w_L_accumulated_opacity * terms["L_accumulated_opacity"]
+        )
+        metrics = {
+            "loss": total,
+            "L1": ll1,
+            "photometric": photometric,
+            "psnr": -10.0
+            * jnp.log10(
+                L.masked_mean((image - gt_image) ** 2, valid) + 1e-12
+            ),
+            "num_pairs": out.num_pairs,
+            "max_tile": out.max_tile_count,
+            **{k: v for k, v in terms.items()},
+        }
+        return total, (metrics, out.radii)
+
+    @jax.jit
+    def step(state: TrainState, view_idx, key, gates):
+        m2d_off = jnp.zeros((state.params.xyz.shape[0], 2), jnp.float32)
+        (loss, (metrics, radii)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(state.params, state.shading, m2d_off, state.aux, view_idx, key, gates)
+        g_g, g_s, g_m2d = grads
+
+        # freeze gates for camera params (msi_to_pan unfreeze at iteration
+        # gate, last_row unfreeze at iterstart_learn_wv_transform)
+        g_s = g_s.replace(
+            msi_to_pan_weight=g_s.msi_to_pan_weight * gates["learn_msitopan"],
+            msi_to_pan_bias=g_s.msi_to_pan_bias * gates["learn_msitopan"],
+            last_row=g_s.last_row * gates["learn_pose"],
+        )
+
+        g_updates, g_opt = gauss_tx.update(g_g, state.g_opt, state.params)
+        g_updates = jax.tree.map(lambda u, lr: -lr * u, g_updates, lr_tree)
+        new_gparams = jax.tree.map(jnp.add, state.params, g_updates)
+
+        c_updates, c_opt = cam_tx.update(g_s, state.c_opt, state.shading)
+        new_sparams = jax.tree.map(
+            lambda p, u: p - o.camera_lr * u, state.shading, c_updates
+        )
+
+        model = GaussianModel(params=new_gparams, aux=state.aux)
+        model = add_densification_stats(model, g_m2d, radii)
+
+        new_state = state.replace(
+            params=new_gparams,
+            aux=model.aux,
+            shading=new_sparams,
+            g_opt=g_opt,
+            c_opt=c_opt,
+            step=state.step + 1,
+        )
+        metrics["grad_m2d_max"] = jnp.max(jnp.abs(g_m2d))
+        return new_state, metrics
+
+    return step
+
+
+def make_gates(cfg: TrainConfig, iteration: int, init_count: int) -> Dict[str, jnp.ndarray]:
+    o = cfg.optimization
+
+    def gate(start, end=None):
+        on = iteration > start and (end is None or iteration < end)
+        return jnp.float32(1.0 if on else 0.0)
+
+    return {
+        "opacity": gate(o.iterstart_L_opacity, o.iterend_L_opacity),
+        "opacity_radii": gate(o.iterstart_L_opacity_radii, o.iterend_L_opacity_radii),
+        "sun_resample": gate(o.iterstart_L_sun_resample),
+        "new_resample": gate(o.iterstart_L_new_resample),
+        "tv": gate(o.iterstart_L_TV_altitude),
+        "erank": gate(o.iterstart_L_erank),
+        "acc_opacity": gate(o.iterstart_L_accumulated_opacity),
+        "learn_msitopan": jnp.float32(
+            0.0
+            if (cfg.optimization.freeze_start_msitopan_params
+                and iteration < o.iterstart_learn_msitopan_params)
+            else 1.0
+        ),
+        "learn_pose": gate(o.iterstart_learn_wv_transform - 1),
+        "init_count": jnp.float32(init_count),
+    }
+
+
+def phase_for_iteration(cfg: TrainConfig, iteration: int) -> Phase:
+    o = cfg.optimization
+    return Phase(
+        enable_sun=iteration > o.iterstart_shadowmapping,
+        enable_random=iteration > o.iterstart_L_new_resample,
+        learn_pose=cfg.model.camera_params.learn_wv_transform,
+    )
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Host-side orchestration: camera sampling, phase scheduling,
+    densify/prune/reset cadence, early stopping, eval hooks."""
+
+    cfg: TrainConfig
+    scene: SceneData
+    raster_cfg: RasterizeConfig = RasterizeConfig()
+    eval_hook: Optional[Callable] = None  # fn(trainer, state, iteration) -> dict
+    log_hook: Optional[Callable] = None
+
+    def setup(self):
+        cfg = self.cfg
+        scene = self.scene
+        self.consts = build_scene_tensors(scene, repeat_gt=cfg.model.repeat_gt)
+        n_init = len(scene.init_xyz)
+        capacity = int(n_init * cfg.model.capacity_headroom)
+        capacity = ((capacity + 127) // 128) * 128
+        model = init_from_points(
+            scene.init_xyz,
+            scene.init_rgb,
+            capacity=capacity,
+            sh_degree=cfg.model.sh_degree,
+            opacity_init_value=cfg.model.opacity_init_value,
+        )
+        self.init_count = n_init
+        num_views = len(scene.train_views)
+        shading = init_shading_params(num_views)
+        self.gauss_tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15)
+        self.cam_tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        self.state = TrainState(
+            params=model.params,
+            aux=model.aux,
+            shading=shading,
+            g_opt=self.gauss_tx.init(model.params),
+            c_opt=self.cam_tx.init(shading),
+            step=jnp.int32(0),
+        )
+        mode = cfg.model.msi_to_pan_name
+        # pan conversion applies only to pan-type cameras; in the single-
+        # modality modes every view shares the type.
+        any_pan = any(v.image_type == "pan" for v in scene.train_views)
+        self.pan_mode = None
+        if any_pan and cfg.model.load_pan:
+            self.pan_mode = {"fixed": "fixed", "identity": "identity",
+                             "average": "average",
+                             "only_one_channel": "only_one_channel",
+                             "learned": "learned"}[mode]
+        self._steps = {}
+        self.rng = np.random.RandomState(cfg.seed)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.metrics_history = []
+        return self
+
+    def _get_step(self, phase: Phase):
+        if phase not in self._steps:
+            self._steps[phase] = make_train_step(
+                self.consts,
+                self.cfg,
+                self.raster_cfg,
+                phase,
+                self.gauss_tx,
+                self.cam_tx,
+                self.pan_mode,
+                spatial_lr_scale=self.scene.cameras_extent,
+            )
+        return self._steps[phase]
+
+    def _maintenance(self, iteration: int):
+        """Pruning / densification / opacity reset (train_pan.py:672-736)."""
+        o = self.cfg.optimization
+        st = self.state
+        model = GaussianModel(params=st.params, aux=st.aux)
+        if iteration < o.densify_until_iter:
+            if o.only_prune:
+                model = prune_transparent(model, o.min_opacity)
+            else:
+                d = o.densification
+                if (
+                    iteration > d.densify_from_iter
+                    and iteration % d.densification_interval == 0
+                ):
+                    grads_avg = np.asarray(
+                        model.aux.xyz_gradient_accum
+                        / np.maximum(np.asarray(model.aux.denom), 1e-12)
+                    )
+                    grads_avg = jnp.asarray(np.nan_to_num(grads_avg))
+                    mu, nu = st.g_opt.mu, st.g_opt.nu
+                    model, mu, nu, _ = densify_clone(
+                        model, mu, nu, grads_avg,
+                        d.densify_grad_threshold, o.percent_dense,
+                        self.scene.cameras_extent,
+                    )
+                    self.key, k = jax.random.split(self.key)
+                    model, mu, nu, _ = densify_split(
+                        model, mu, nu, grads_avg, k,
+                        d.densify_grad_threshold, o.percent_dense,
+                        self.scene.cameras_extent,
+                    )
+                    size_thr = 20 if iteration > o.opacity_reset_interval else None
+                    kill = prune_mask(
+                        model, 0.005, size_thr, self.scene.cameras_extent,
+                        self.scene.cameras_extent,
+                    )
+                    model = apply_prune(model, kill)
+                    model = reset_densification_stats(model)
+                    st = st.replace(g_opt=st.g_opt._replace(mu=mu, nu=nu))
+                model = prune_transparent(model, o.min_opacity)
+        if (
+            o.opacity_reset_interval >= 0
+            and iteration % o.opacity_reset_interval == 0
+            and iteration < o.iterend_opacity_reset_interval
+        ):
+            mu, nu = st.g_opt.mu, st.g_opt.nu
+            model, mu, nu = reset_opacity_with_moments(model, mu, nu)
+            st = st.replace(g_opt=st.g_opt._replace(mu=mu, nu=nu))
+        self.state = st.replace(params=model.params, aux=model.aux)
+
+    def train(self, max_iterations: Optional[int] = None, progress: bool = True):
+        o = self.cfg.optimization
+        iters = max_iterations or o.iterations
+        es = o.early_stopping
+        best = np.inf if es.operator == "min" else -np.inf
+        patience_left = es.patience
+        view_stack: list = []
+        interval_metrics: list = []
+        t0 = time.time()
+        num_views = len(self.scene.train_views)
+        for iteration in range(1, iters + 1):
+            if not view_stack:
+                view_stack = list(self.rng.permutation(num_views))
+            view_idx = int(view_stack.pop())
+            phase = phase_for_iteration(self.cfg, iteration)
+            step = self._get_step(phase)
+            gates = make_gates(self.cfg, iteration, self.init_count)
+            self.key, k = jax.random.split(self.key)
+            self.state, metrics = step(
+                self.state, jnp.int32(view_idx), k, gates
+            )
+            interval_metrics.append(metrics)
+
+            self._maintenance(iteration)
+
+            if iteration % self.cfg.logging.tb_log_interval == 0:
+                m = {
+                    k: float(np.mean([float(x[k]) for x in interval_metrics]))
+                    for k in interval_metrics[0]
+                }
+                m["iteration"] = iteration
+                m["alive"] = int(jnp.sum(self.state.aux.alive))
+                m["it_per_s"] = self.cfg.logging.tb_log_interval / max(
+                    time.time() - t0, 1e-9
+                )
+                t0 = time.time()
+                interval_metrics = []
+                self.metrics_history.append(m)
+                if self.log_hook:
+                    self.log_hook(self, m, iteration)
+                elif progress and iteration % (10 * self.cfg.logging.tb_log_interval) == 0:
+                    print(
+                        f"[{iteration:6d}] loss={m['loss']:.4f} "
+                        f"photo={m['photometric']:.4f} psnr={m['psnr']:.2f} "
+                        f"alive={m['alive']} {m['it_per_s']:.1f} it/s",
+                        flush=True,
+                    )
+                # early stopping (callback_utils.py:1-44: skip zero metric)
+                if es.use_early_stopping:
+                    val = m.get(es.metric_name, 0.0)
+                    if val != 0.0:
+                        better = val < best if es.operator == "min" else val > best
+                        if better:
+                            best = val
+                            patience_left = es.patience
+                        else:
+                            patience_left -= 1
+                        if patience_left <= 0:
+                            print(f"early stopping at iteration {iteration}")
+                            break
+
+            if self.eval_hook and iteration % self.cfg.logging.testing_interval == 0:
+                self.eval_hook(self, self.state, iteration)
+
+            if iteration in self.cfg.checkpoint_iterations:
+                from eogs2_tpu.checkpoint import save_checkpoint
+
+                path = os.path.join(
+                    self.cfg.logging.model_path, f"chkpnt{iteration}"
+                )
+                save_checkpoint(path, self.state, iteration)
+                print(f"checkpoint saved: {path}")
+
+        return self.state
+
+    def restore(self, path: str) -> int:
+        """Resume from a checkpoint (gaussians.restore parity incl. Adam
+        state, train_pan.py:122-124). Returns the saved iteration."""
+        from eogs2_tpu.checkpoint import restore_checkpoint
+
+        self.state, iteration = restore_checkpoint(path, self.state)
+        return iteration
