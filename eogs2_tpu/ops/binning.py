@@ -48,57 +48,50 @@ def bin_gaussians(
     prep: Preprocessed,
     width: int,
     height: int,
-    pair_capacity: int,
-    max_tiles_per_gaussian: int = 64,
+    pair_capacity: int = 0,  # unused; kept for API compatibility
+    max_tiles_per_gaussian: int = 16,
 ) -> Binning:
-    """Build the depth-sorted per-tile pair list.
+    """Build the depth-sorted per-tile pair list — scatter-free.
+
+    TPU note: the obvious CUDA-style emission (prefix-sum offsets + scatter
+    each Gaussian's tiles into a compact pair buffer) is pathologically slow
+    on TPU, where scatter lowers to sort-based machinery (~88 ms for 100k
+    Gaussians). Since the very next step is a full (tile, depth) sort that
+    doesn't care about input order, compaction is pointless: emit the pair
+    table DENSELY as [N, max_tiles_per_gaussian] with pad entries, flatten,
+    and let the one lax.sort do everything. Sorting the (slightly larger)
+    padded table is orders of magnitude cheaper than the scatters.
 
     Gaussians whose tile rect exceeds ``max_tiles_per_gaussian`` are clamped
-    to their first rows of tiles (extremely large splats are pruned during
-    training anyway; the overflow is observable via tiles_touched).
+    to their first rows of tiles; the true demand stays observable through
+    tiles_touched so the host can re-bucket (the analog of the reference's
+    dynamically resized BinningState, rasterizer_impl.cu:284-311).
     """
     grid_x, grid_y = grid_dims(width, height)
     n_tiles = grid_x * grid_y
     n = prep.depth.shape[0]
+    tcap = max_tiles_per_gaussian
 
-    tiles = jnp.minimum(prep.tiles_touched, max_tiles_per_gaussian)
-    offsets = jnp.cumsum(tiles) - tiles  # exclusive prefix sum
-    num_pairs = jnp.sum(tiles)
+    tiles = jnp.minimum(prep.tiles_touched, tcap)
+    num_pairs = jnp.sum(prep.tiles_touched)  # true demand (pre-clamp)
 
-    # Emit slots: one scatter per local tile index t in [0, max_tiles/gauss).
     pad_tile = jnp.int32(n_tiles)
-    gauss_ids = jnp.arange(n, dtype=jnp.int32)
-
-    tile_buf = jnp.full((pair_capacity + 1,), pad_tile, dtype=jnp.int32)
-    id_buf = jnp.zeros((pair_capacity + 1,), dtype=jnp.int32)
-
-    rw = prep.rect_size[:, 0]
-    rmx = prep.rect_min[:, 0]
-    rmy = prep.rect_min[:, 1]
-    rw_safe = jnp.maximum(rw, 1)
-
-    def body(t, bufs):
-        tile_buf, id_buf = bufs
-        ty = t // rw_safe
-        tx = t - ty * rw_safe
-        tile_id = (rmy + ty) * grid_x + (rmx + tx)
-        valid = t < tiles
-        pos = offsets + t
-        pos = jnp.where(valid & (pos < pair_capacity), pos, pair_capacity)
-        tile_buf = tile_buf.at[pos].set(jnp.where(valid, tile_id, pad_tile), mode="drop")
-        id_buf = id_buf.at[pos].set(gauss_ids, mode="drop")
-        return tile_buf, id_buf
-
-    tile_buf, id_buf = jax.lax.fori_loop(
-        0, max_tiles_per_gaussian, body, (tile_buf, id_buf)
+    t = jnp.arange(tcap, dtype=jnp.int32)[None, :]  # [1,T]
+    rw = jnp.maximum(prep.rect_size[:, 0], 1)[:, None]
+    ty = t // rw
+    tx = t - ty * rw
+    tile_id = (prep.rect_min[:, 1][:, None] + ty) * grid_x + (
+        prep.rect_min[:, 0][:, None] + tx
     )
-    tile_buf = tile_buf[:pair_capacity]
-    id_buf = id_buf[:pair_capacity]
+    valid = t < tiles[:, None]
+    tile_tab = jnp.where(valid, tile_id, pad_tile).reshape(-1).astype(jnp.int32)
+    gid_tab = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, tcap)
+    ).reshape(-1)
+    depth_tab = jnp.broadcast_to(prep.depth[:, None], (n, tcap)).reshape(-1)
 
-    # Sort by (tile, depth): lexicographic two-key sort, pad tiles go last.
-    depths = prep.depth[id_buf]
     sort_tile, _, sort_id = jax.lax.sort(
-        (tile_buf, depths, id_buf), num_keys=2
+        (tile_tab, depth_tab, gid_tab), num_keys=2
     )
     pair_valid = sort_tile < n_tiles
 

@@ -66,6 +66,25 @@ def _alphas(mean2d, conic, opacity, mask, origin):
     return alpha, g, d, keep
 
 
+def _tri_incl(k, dtype=jnp.float32):
+    """[K,K] upper-triangular ones incl. diagonal: x @ tri == inclusive
+    cumsum along the last axis — the prefix scan as an MXU matmul.
+
+    TPU note: jnp.cumprod/cumsum lower to O(log K) shifted elementwise
+    passes, each round-tripping the [tiles,P,K] tensor through HBM; the
+    triangular matmul does the same reduction inside the MXU with one read.
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (r <= c).astype(dtype)
+
+
+def _cumsum_mxu(x):
+    """Inclusive cumsum along the last axis via triangular matmul."""
+    k = x.shape[-1]
+    return jnp.dot(x, _tri_incl(k, x.dtype), preferred_element_type=jnp.float32)
+
+
 def blend_tile(mean2d, conic, opacity, feat, mask, origin, bg):
     """Composite one 16x16 tile.
 
@@ -80,14 +99,15 @@ def blend_tile(mean2d, conic, opacity, feat, mask, origin, bg):
     """
     alpha, _, _, _ = _alphas(mean2d, conic, opacity, mask, origin)
     one_minus = 1.0 - alpha  # [P,K]
-    cp = jnp.cumprod(one_minus, axis=-1)
+    # inclusive log-prefix-product on the MXU; alpha <= 0.99 keeps
+    # log1p(-alpha) finite and the exp round-trip well conditioned
+    logs = jnp.log1p(-alpha)
+    cp = jnp.exp(_cumsum_mxu(logs))
     live = cp >= T_EPS
-    t_before = jnp.concatenate(
-        [jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=-1
-    )
+    t_before = cp / one_minus  # exclusive prefix product (one_minus >= 0.01)
     w = jnp.where(live, alpha * t_before, 0.0)  # [P,K]
     out = w @ feat  # [P,C]  (MXU)
-    final_t = jnp.prod(jnp.where(live, one_minus, 1.0), axis=-1)
+    final_t = jnp.exp(jnp.sum(jnp.where(live, logs, 0.0), axis=-1))
     out = out + final_t[:, None] * bg[None, :]
     return out, final_t
 
@@ -116,9 +136,10 @@ def _blend_bwd(res, grads):
     # term below (bg . g_out has the same -T_final/(1-alpha) structure).
     alpha, g, d, keep = _alphas(mean2d, conic, opacity, mask, origin)
     one_minus = 1.0 - alpha
-    cp = jnp.cumprod(one_minus, axis=-1)
+    logs = jnp.log1p(-alpha)
+    cp = jnp.exp(_cumsum_mxu(logs))
     live = cp >= T_EPS
-    t_before = jnp.concatenate([jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=-1)
+    t_before = cp / one_minus
     a_eff = jnp.where(live, alpha, 0.0)
     w = a_eff * t_before  # [P,K]
 
@@ -132,7 +153,7 @@ def _blend_bwd(res, grads):
     fdot = g_out @ feat.T  # [P,K] : sum_ch g_out_ch feat_k_ch
     contrib = w * fdot  # [P,K] : g_out . (feat_k a_k T_k)
     total = jnp.sum(contrib, axis=-1, keepdims=True)
-    prefix_inc = jnp.cumsum(contrib, axis=-1)  # includes k
+    prefix_inc = _cumsum_mxu(contrib)  # includes k (MXU)
     suffix = total - prefix_inc  # sum_{j>k}
     bg_dot = g_out @ bg + g_final_t  # [P]
     inv_1ma = 1.0 / one_minus  # alpha <= 0.99 so 1-alpha >= 0.01

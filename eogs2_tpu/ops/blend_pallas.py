@@ -1,0 +1,283 @@
+"""Pallas TPU kernels for the tile compositing hot loop.
+
+Same math as ops/blend.py (which remains the interpretable reference and the
+CPU path), but fused into single kernels so the [tiles, P, K] intermediates
+(alpha, transmittance, suffix sums) never touch HBM:
+
+  * prefix/suffix scans run as triangular matmuls on the MXU, chunked along
+    K with running carries held in registers/VMEM;
+  * the per-pair data arrives packed as one [T, 16, K] array (lane dim = K,
+    128-aligned) so each grid step streams exactly one tile's worth;
+  * tile origins are derived from program_id (grid_x is static) — no side
+    inputs;
+  * outputs are [T, P, 8] (5 channels + final_t in channel 5) and, in the
+    backward, [T, 16, K] packed gradients that flow into the caller's
+    gather-VJP scatter-add exactly like the jnp path.
+
+Forward residuals are the packed inputs only — the backward re-rasterizes,
+mirroring CUDA's save-final_T-and-rewalk strategy (backward.cu:457-643).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eogs2_tpu.ops.blend import ALPHA_EPS, ALPHA_MAX, T_EPS
+from eogs2_tpu.ops.projection import TILE
+
+P = TILE * TILE  # 256 pixels per tile
+NF = 16  # packed rows (12 used, padded for sublane alignment)
+# rows: 0 mx, 1 my, 2 ca, 3 cb, 4 cc, 5 opacity, 6..10 feat, 11 mask
+
+
+def pack_tile_data(mean2d, conic, opacity, feat, mask):
+    """[T,K,2],[T,K,3],[T,K],[T,K,5],[T,K] -> [T,NF,K] packed."""
+    t, k, c = feat.shape
+    assert c == 5, c
+    rows = [
+        mean2d[..., 0], mean2d[..., 1],
+        conic[..., 0], conic[..., 1], conic[..., 2],
+        opacity,
+    ] + [feat[..., i] for i in range(c)] + [mask.astype(mean2d.dtype)]
+    data = jnp.stack(rows, axis=1)  # [T,12,K]
+    return jnp.pad(data, ((0, 0), (0, NF - data.shape[1]), (0, 0)))
+
+
+def unpack_grads(gdata):
+    """[T,NF,K] -> (g_mean2d [T,K,2], g_conic [T,K,3], g_opac [T,K],
+    g_feat [T,K,5])."""
+    g = jnp.moveaxis(gdata, 1, 2)  # [T,K,NF]
+    return g[..., 0:2], g[..., 2:5], g[..., 5], g[..., 6:11]
+
+
+def _alpha_chunk(data, sl, ox, oy):
+    """[P, Kc] effective alpha for one K-chunk of a tile's packed data."""
+    mx = data[0, sl]
+    my = data[1, sl]
+    ca = data[2, sl]
+    cb = data[3, sl]
+    cc = data[4, sl]
+    op = data[5, sl]
+    msk = data[11, sl]
+    pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (pid % TILE).astype(jnp.float32) + ox
+    py = (pid // TILE).astype(jnp.float32) + oy
+    dx = mx[None, :] - px  # [P,Kc]
+    dy = my[None, :] - py
+    power = -0.5 * (ca[None, :] * dx * dx + cc[None, :] * dy * dy) - cb[None, :] * dx * dy
+    g = jnp.exp(jnp.minimum(power, 0.0))
+    alpha_raw = jnp.minimum(ALPHA_MAX, op[None, :] * g)
+    keep = (msk[None, :] > 0.5) & (power <= 0.0) & (alpha_raw >= ALPHA_EPS)
+    alpha = jnp.where(keep, alpha_raw, 0.0)
+    return alpha, g, dx, dy, keep
+
+
+def _tri(kc):
+    r = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 1)
+    return (r <= c).astype(jnp.float32)
+
+
+def _origin(grid_x):
+    i = pl.program_id(0)
+    ox = ((i % grid_x) * TILE).astype(jnp.float32)
+    oy = ((i // grid_x) * TILE).astype(jnp.float32)
+    return ox, oy
+
+
+def _fwd_kernel(data_ref, out_ref, *, k_chunk, n_chunks, grid_x):
+    ox, oy = _origin(grid_x)
+    data = data_ref[0]
+    tri = _tri(k_chunk)
+
+    acc = jnp.zeros((P, 5), jnp.float32)
+    carry_raw = jnp.zeros((P, 1), jnp.float32)
+    carry_live = jnp.zeros((P, 1), jnp.float32)
+
+    for c in range(n_chunks):  # static unroll
+        sl = slice(c * k_chunk, (c + 1) * k_chunk)
+        alpha, _, _, _, _ = _alpha_chunk(data, sl, ox, oy)
+        logs = jnp.log1p(-alpha)
+        s_incl = carry_raw + jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+        cp = jnp.exp(s_incl)
+        live = cp >= T_EPS
+        t_before = cp / (1.0 - alpha)
+        w = jnp.where(live, alpha * t_before, 0.0)
+        featc = data[6:11, sl]  # [5,Kc]
+        acc = acc + jax.lax.dot_general(
+            w, featc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        carry_raw = s_incl[:, -1:]
+        carry_live = carry_live + jnp.sum(
+            jnp.where(live, logs, 0.0), axis=-1, keepdims=True
+        )
+
+    out_ref[0] = jnp.concatenate(
+        [acc, jnp.exp(carry_live), jnp.zeros((P, 2), jnp.float32)], axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k_chunk", "grid_x", "interpret"))
+def blend_forward_pallas(data, grid_x: int, k_chunk: int = 512,
+                         interpret: bool = False):
+    """data: [T,NF,K] packed. Returns out [T,P,8] (final_t in channel 5)."""
+    t, nf, k = data.shape
+    assert nf == NF and k % k_chunk == 0, (nf, k, k_chunk)
+    kernel = functools.partial(
+        _fwd_kernel, k_chunk=k_chunk, n_chunks=k // k_chunk, grid_x=grid_x
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, NF, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, P, 8), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, P, 8), jnp.float32),
+        interpret=interpret,
+    )(data)
+
+
+def _bwd_kernel(data_ref, gout_ref, gdata_ref, *, k_chunk, n_chunks, grid_x):
+    ox, oy = _origin(grid_x)
+    data = data_ref[0]
+    gout = gout_ref[0]  # [P,8]
+    tri = _tri(k_chunk)
+    g_pix = gout[:, :5]
+    g_ft = gout[:, 5:6]  # includes the (g_pix . bg) background fold
+
+    # pass 1: total foreground contribution and final_t
+    carry_raw = jnp.zeros((P, 1), jnp.float32)
+    carry_live = jnp.zeros((P, 1), jnp.float32)
+    total = jnp.zeros((P, 1), jnp.float32)
+    for c in range(n_chunks):
+        sl = slice(c * k_chunk, (c + 1) * k_chunk)
+        alpha, _, _, _, _ = _alpha_chunk(data, sl, ox, oy)
+        logs = jnp.log1p(-alpha)
+        s_incl = carry_raw + jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+        cp = jnp.exp(s_incl)
+        live = cp >= T_EPS
+        w = jnp.where(live, alpha * cp / (1.0 - alpha), 0.0)
+        featc = data[6:11, sl]
+        fdot = jnp.dot(g_pix, featc, preferred_element_type=jnp.float32)
+        total = total + jnp.sum(w * fdot, axis=-1, keepdims=True)
+        carry_raw = s_incl[:, -1:]
+        carry_live = carry_live + jnp.sum(
+            jnp.where(live, logs, 0.0), axis=-1, keepdims=True
+        )
+    final_t = jnp.exp(carry_live)
+
+    # pass 2: gradients
+    carry_raw = jnp.zeros((P, 1), jnp.float32)
+    prefix = jnp.zeros((P, 1), jnp.float32)
+    for c in range(n_chunks):
+        sl = slice(c * k_chunk, (c + 1) * k_chunk)
+        alpha, g, dx, dy, keep = _alpha_chunk(data, sl, ox, oy)
+        one_minus = 1.0 - alpha
+        logs = jnp.log1p(-alpha)
+        s_incl = carry_raw + jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+        cp = jnp.exp(s_incl)
+        live = cp >= T_EPS
+        t_before = cp / one_minus
+        w = jnp.where(live, alpha * t_before, 0.0)
+        featc = data[6:11, sl]
+        fdot = jnp.dot(g_pix, featc, preferred_element_type=jnp.float32)
+        contrib = w * fdot
+        prefix_inc = prefix + jnp.dot(
+            contrib, tri, preferred_element_type=jnp.float32
+        )
+        suffix = total - prefix_inc
+        g_alpha = fdot * t_before - (suffix + final_t * g_ft) / one_minus
+        g_alpha = jnp.where(live & keep, g_alpha, 0.0)
+
+        op = data[5, sl]
+        ca = data[2, sl]
+        cb = data[3, sl]
+        cc = data[4, sl]
+        g_opac = jnp.sum(g_alpha * g, axis=0)
+        gG = g_alpha * op[None, :] * g
+        g_mx = jnp.sum(gG * (-(ca[None, :] * dx) - cb[None, :] * dy), axis=0)
+        g_my = jnp.sum(gG * (-(cc[None, :] * dy) - cb[None, :] * dx), axis=0)
+        g_ca = jnp.sum(gG * (-0.5 * dx * dx), axis=0)
+        g_cb = jnp.sum(gG * (-dx * dy), axis=0)
+        g_cc = jnp.sum(gG * (-0.5 * dy * dy), axis=0)
+        g_feat = jax.lax.dot_general(
+            w, g_pix, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Kc,5]
+        zeros = jnp.zeros((NF - 12, k_chunk), jnp.float32)
+        gchunk = jnp.concatenate(
+            [
+                jnp.stack([g_mx, g_my, g_ca, g_cb, g_cc, g_opac], axis=0),
+                g_feat.T,
+                jnp.zeros((1, k_chunk), jnp.float32),  # mask row
+                zeros,
+            ],
+            axis=0,
+        )  # [NF,Kc]
+        gdata_ref[0, :, sl] = gchunk
+
+        prefix = prefix_inc[:, -1:]
+        carry_raw = s_incl[:, -1:]
+
+
+@functools.partial(jax.jit, static_argnames=("k_chunk", "grid_x", "interpret"))
+def blend_backward_pallas(data, gout, grid_x: int, k_chunk: int = 512,
+                          interpret: bool = False):
+    t, nf, k = data.shape
+    kernel = functools.partial(
+        _bwd_kernel, k_chunk=k_chunk, n_chunks=k // k_chunk, grid_x=grid_x
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, NF, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NF, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, NF, k), jnp.float32),
+        interpret=interpret,
+    )(data, gout)
+
+
+# ---- custom-vjp wrapper ----------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def blend_tiles_pallas(data, bg, grid_x, k_chunk, interpret):
+    """data [T,NF,K] packed, bg [5]. Returns (img [T,P,5], final_t [T,P])."""
+    out = blend_forward_pallas(data, grid_x, k_chunk=k_chunk, interpret=interpret)
+    img = out[:, :, :5] + out[:, :, 5:6] * bg[None, None, :]
+    return img, out[:, :, 5]
+
+
+def _fwd(data, bg, grid_x, k_chunk, interpret):
+    out = blend_forward_pallas(data, grid_x, k_chunk=k_chunk, interpret=interpret)
+    img = out[:, :, :5] + out[:, :, 5:6] * bg[None, None, :]
+    return (img, out[:, :, 5]), (data, bg, out[:, :, 5])
+
+
+def _bwd(grid_x, k_chunk, interpret, res, grads):
+    data, bg, final_t = res
+    g_img, g_ft = grads
+    g_ft_total = g_ft + jnp.einsum("tpc,c->tp", g_img, bg)
+    # [T,P,8]: channel grads 0..4, final_t grad at 5, padding rows 6..7
+    gout = jnp.concatenate(
+        [g_img, g_ft_total[..., None], jnp.zeros_like(g_img[..., :2])], axis=-1
+    )
+    gdata = blend_backward_pallas(data, gout, grid_x, k_chunk=k_chunk,
+                                  interpret=interpret)
+    g_bg = jnp.einsum("tp,tpc->c", final_t, g_img)
+    return gdata, g_bg
+
+
+blend_tiles_pallas.defvjp(_fwd, _bwd)

@@ -40,14 +40,15 @@ NUM_CHANNELS = 5  # RGB + altitude + constant-1 (config.h:15)
 class RasterizeConfig:
     """Static capacity/behavior knobs (hashable -> usable as jit static arg)."""
 
-    pair_capacity: int = 1 << 20
+    pair_capacity: int = 1 << 20  # legacy knob; binning is now dense [N,T]
     tile_capacity: int = 1024  # K: max Gaussians blended per tile
-    max_tiles_per_gaussian: int = 64
+    max_tiles_per_gaussian: int = 16  # T: dense pair-table width
     tile_chunk: int = 128  # tiles per blend map step (memory knob)
     antialiasing: bool = False
     use_custom_vjp: bool = True
+    use_pallas: bool = False  # Pallas blend kernels (TPU only)
 
-    def bucketed(self, num_pairs: int, max_tile: int) -> "RasterizeConfig":
+    def bucketed(self, max_tile: int, max_tiles_per_gaussian: int) -> "RasterizeConfig":
         """Next power-of-two bucket that fits the observed sizes."""
 
         def up(x, lo):
@@ -58,8 +59,8 @@ class RasterizeConfig:
 
         return dataclasses.replace(
             self,
-            pair_capacity=up(int(num_pairs) + 1, 1 << 14),
             tile_capacity=up(int(max_tile) + 1, 128),
+            max_tiles_per_gaussian=up(int(max_tiles_per_gaussian), 4),
         )
 
 
@@ -70,6 +71,7 @@ class RasterOut(NamedTuple):
     mean2d_ndc: jnp.ndarray  # [N,2] projected centers in NDC (for densify stats)
     num_pairs: jnp.ndarray  # [] emitted pair count (overflow detection)
     max_tile_count: jnp.ndarray  # [] densest tile
+    max_tiles_per_gaussian_seen: jnp.ndarray = None  # [] widest tile rect
 
 
 @partial(jax.jit, static_argnames=("width", "height", "config"))
@@ -140,21 +142,28 @@ def rasterize(
     g_feat = features[gidx]  # [T,K,C]
 
     grid_x, grid_y = grid_dims(width, height)
-    tx = jnp.arange(grid_x * grid_y, dtype=jnp.float32) % grid_x
-    ty = jnp.arange(grid_x * grid_y, dtype=jnp.float32) // grid_x
-    origins = jnp.stack([tx * TILE, ty * TILE], axis=-1)
+    if config.use_pallas:
+        from eogs2_tpu.ops.blend_pallas import blend_tiles_pallas, pack_tile_data
 
-    out, final_t = blend_tiles(
-        g_mean2d,
-        g_conic,
-        g_opac,
-        g_feat,
-        mask,
-        origins,
-        bg,
-        tile_chunk=config.tile_chunk,
-        use_custom_vjp=config.use_custom_vjp,
-    )
+        data = pack_tile_data(g_mean2d, g_conic, g_opac, g_feat, mask)
+        k_chunk = min(config.tile_capacity, 512)
+        out, final_t = blend_tiles_pallas(data, bg, grid_x, k_chunk, False)
+    else:
+        tx = jnp.arange(grid_x * grid_y, dtype=jnp.float32) % grid_x
+        ty = jnp.arange(grid_x * grid_y, dtype=jnp.float32) // grid_x
+        origins = jnp.stack([tx * TILE, ty * TILE], axis=-1)
+
+        out, final_t = blend_tiles(
+            g_mean2d,
+            g_conic,
+            g_opac,
+            g_feat,
+            mask,
+            origins,
+            bg,
+            tile_chunk=config.tile_chunk,
+            use_custom_vjp=config.use_custom_vjp,
+        )
 
     c = features.shape[-1]
     img = out.reshape(grid_y, grid_x, TILE, TILE, c)
@@ -177,6 +186,7 @@ def rasterize(
         mean2d_ndc=mean2d_ndc,
         num_pairs=binning.num_pairs,
         max_tile_count=binning.max_tile_count,
+        max_tiles_per_gaussian_seen=jnp.max(prep.tiles_touched),
     )
 
 

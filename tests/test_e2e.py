@@ -30,7 +30,7 @@ def trained(tmp_path_factory):
                    scale=SCALE, seed=3)
     scene = load_scene(d, images_msi_path=os.path.join(d, "images"),
                        eval_split=True, load_pan=False)
-    cfg = baseogs(d, iterations=400)
+    cfg = baseogs(d, iterations=550)
     cfg.logging.tb_log_interval = 10
     cfg.optimization.iterstart_shadowmapping = 60
     cfg.optimization.iterstart_L_new_resample = 60
@@ -45,7 +45,7 @@ def trained(tmp_path_factory):
         maes[iteration] = mae
 
     tr.eval_hook = hook
-    cfg.logging.testing_interval = 150
+    cfg.logging.testing_interval = 250
     tr.train(progress=False)
     model1 = GaussianModel(params=tr.state.params, aux=tr.state.aux)
     mae1, _, _, _ = evaluate_dsm_mae(model1, scene, mc, RCFG, resolution=RES)
@@ -61,7 +61,7 @@ def test_training_improves_dsm_mae(trained):
     maes = trained["maes"]
     print(f"\nMAE trajectory: {maes} final={trained['mae1']:.3f}")
     assert np.isfinite(trained["mae1"])
-    assert trained["mae1"] < maes[150]
+    assert trained["mae1"] < maes[250]
 
 
 def test_training_reduces_photometric(trained):
