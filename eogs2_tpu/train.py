@@ -87,6 +87,7 @@ class Phase(NamedTuple):
     enable_sun: bool = False
     enable_random: bool = False
     learn_pose: bool = False
+    enable_flowmatch: bool = False
 
 
 def _pad_to_tile(img, valid_shape):
@@ -269,6 +270,27 @@ def make_train_step(
         gt_image = consts.images[view_idx]
         valid = consts.image_valid[view_idx]
 
+        # ---- flow matching (internal camera refinement) ----
+        # perform_flow_matching parity (flow_matching.py:293-329): estimate
+        # the gt->render flow, warp the render into the gt frame, discard
+        # when the mean |flow| exceeds max_value_flow. The constant-
+        # displacement default (raft_small recipe) uses the FFT phase-
+        # correlation estimator; flow coordinates are stop-gradiented like
+        # the reference's detached grid (flow_matching.py:249).
+        flow_mag = jnp.float32(0.0)
+        if phase.enable_flowmatch:
+            from eogs2_tpu.flow import apply_flow_to_image, phase_correlation_shift
+
+            fdx, fdy = phase_correlation_shift(
+                jax.lax.stop_gradient(gt_image), jax.lax.stop_gradient(image)
+            )
+            flow_mag = (jnp.abs(fdx) + jnp.abs(fdy)) * 0.5
+            accept = (
+                flow_mag < o.flowmatching.max_value_flow
+            ) & (gates["flowmatch"] > 0.5)
+            warped = apply_flow_to_image(image, fdx, fdy)
+            image = jnp.where(accept, warped, image)
+
         # ---- random virtual camera consistency ----
         if phase.enable_random:
             new_cam, cam2new = cam.random_camera(k_rand, o.virtual_camera_extent)
@@ -319,6 +341,7 @@ def make_train_step(
         )
         metrics = {
             "loss": total,
+            "flow_mag": flow_mag,
             "L1": ll1,
             "photometric": photometric,
             "psnr": -10.0
@@ -395,6 +418,9 @@ def make_gates(cfg: TrainConfig, iteration: int, init_count: int) -> Dict[str, j
             else 1.0
         ),
         "learn_pose": gate(o.iterstart_learn_wv_transform - 1),
+        "flowmatch": gate(
+            o.iterstart_flowmatching, o.flowmatching.iterend_flowmatching
+        ),
         "init_count": jnp.float32(init_count),
     }
 
@@ -405,6 +431,11 @@ def phase_for_iteration(cfg: TrainConfig, iteration: int) -> Phase:
         enable_sun=iteration > o.iterstart_shadowmapping,
         enable_random=iteration > o.iterstart_L_new_resample,
         learn_pose=cfg.model.camera_params.learn_wv_transform,
+        enable_flowmatch=(
+            o.flowmatching.apply_flowmatching
+            and iteration > o.iterstart_flowmatching
+            and iteration < o.flowmatching.iterend_flowmatching
+        ),
     )
 
 
@@ -526,6 +557,66 @@ class Trainer:
             st = st.replace(g_opt=st.g_opt._replace(mu=mu, nu=nu))
         self.state = st.replace(params=model.params, aux=model.aux)
 
+    def apply_flowmatching_to_affine(self):
+        """Bake the per-view mean gt->render flow into every camera affine
+        (adjust_affine_from_flow, flow_matching_toaffine.py:28-92)."""
+        from eogs2_tpu.flow import adjust_affine, phase_correlation_shift
+        from eogs2_tpu.model import GaussianModel
+        from eogs2_tpu.pipeline import render_view_full
+
+        model = GaussianModel(params=self.state.params, aux=self.state.aux)
+        wn, hn = self.consts.native_wh
+        new_affines = []
+        for vi, view in enumerate(self.scene.train_views):
+            cam = view.camera.replace(affine=self.consts.affines[vi])
+            out = render_view_full(
+                model, cam, self.raster_cfg, shading=self.state.shading,
+                view_idx=vi, with_sun=cam.has_sun,
+                pan_mode=self.pan_mode,
+            )
+            gt = view.image
+            if gt.shape[0] == 1 and self.cfg.model.repeat_gt:
+                gt = np.repeat(gt, 3, axis=0)
+            final = out["final"][: gt.shape[0]]
+            dx, dy = phase_correlation_shift(
+                jnp.asarray(gt), jnp.asarray(final)
+            )
+            a = adjust_affine(
+                self.consts.affines[vi], wn, hn, float(dx), float(dy)
+            )
+            new_affines.append(a)
+        self.consts = self.consts.replace(affines=jnp.stack(new_affines))
+        # jitted steps closed over the old consts — rebuild them
+        self._steps = {}
+
+    def color_reset(self):
+        """Reset always-in-shadow Gaussians (color_reset_op.py:41-88)."""
+        from eogs2_tpu.color_ops import apply_color_reset, shadow_reset_mask
+        from eogs2_tpu.model import GaussianModel
+        from eogs2_tpu.pipeline import render_view_full
+
+        model = GaussianModel(params=self.state.params, aux=self.state.aux)
+        shadowmaps, uvs = [], []
+        for vi, view in enumerate(self.scene.train_views):
+            if not view.camera.has_sun:
+                continue
+            out = render_view_full(
+                model, view.camera, self.raster_cfg, shading=self.state.shading,
+                view_idx=vi, with_sun=True, pan_mode=self.pan_mode,
+            )
+            if out["shadowmap"] is None:
+                continue
+            shadowmaps.append(jnp.asarray(out["shadowmap"]))
+            uvs.append(view.camera.ecef_to_uva(model.params.xyz)[:, :2])
+        if not shadowmaps:
+            return
+        mask = shadow_reset_mask(jnp.stack(shadowmaps), jnp.stack(uvs))
+        st = self.state
+        model, mu, nu = apply_color_reset(model, st.g_opt.mu, st.g_opt.nu, mask)
+        self.state = st.replace(
+            params=model.params, g_opt=st.g_opt._replace(mu=mu, nu=nu)
+        )
+
     def train(self, max_iterations: Optional[int] = None, progress: bool = True):
         o = self.cfg.optimization
         iters = max_iterations or o.iterations
@@ -550,6 +641,13 @@ class Trainer:
             interval_metrics.append(metrics)
 
             self._maintenance(iteration)
+
+            if iteration == o.itr_apply_flowmatching_to_affine:
+                self.apply_flowmatching_to_affine()
+                print("baked flow-matching shifts into camera affines")
+            if iteration == o.color_reset_iterations:
+                self.color_reset()
+                print("color reset applied")
 
             if iteration % self.cfg.logging.tb_log_interval == 0:
                 m = {

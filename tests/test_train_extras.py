@@ -1,0 +1,69 @@
+"""Flow-matching training phase, color reset, and affine baking."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from eogs2_tpu.config import eogsplus, baseogs
+from eogs2_tpu.data.synthetic import generate_scene
+from eogs2_tpu.rasterizer import RasterizeConfig
+from eogs2_tpu.scene import load_scene
+from eogs2_tpu.train import Trainer
+
+RCFG = RasterizeConfig(tile_capacity=256, tile_chunk=8, max_tiles_per_gaussian=16)
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("scene"))
+    generate_scene(d, n_views=3, width=32, height=32, hf_res=64, n_buildings=2,
+                   scale=8.0, seed=5)
+    return d
+
+
+def test_flowmatch_phase_runs(scene_dir):
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=30)
+    o = cfg.optimization
+    o.flowmatching.apply_flowmatching = True
+    o.iterstart_flowmatching = 10
+    o.iterstart_shadowmapping = 5
+    o.iterstart_L_new_resample = 5
+    cfg.logging.tb_log_interval = 10
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=RCFG).setup()
+    tr.train(progress=False)
+    assert np.isfinite(tr.metrics_history[-1]["loss"])
+    # the flow-matched phase actually compiled (phase has the flag on)
+    assert any(p.enable_flowmatch for p in tr._steps)
+
+
+def test_apply_flowmatching_to_affine(scene_dir):
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=20)
+    cfg.logging.tb_log_interval = 10
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=RCFG).setup()
+    tr.train(progress=False)
+    before = np.asarray(tr.consts.affines).copy()
+    tr.apply_flowmatching_to_affine()
+    after = np.asarray(tr.consts.affines)
+    # only the intercepts (u, v rows) may change
+    np.testing.assert_array_equal(before[:, :, :3], after[:, :, :3])
+    np.testing.assert_array_equal(before[:, 2, 3], after[:, 2, 3])
+    assert np.all(np.abs(after[:, :2, 3] - before[:, :2, 3]) < 0.5)
+    # training continues after the step-cache rebuild
+    tr.train(max_iterations=5, progress=False)
+
+
+def test_color_reset_runs(scene_dir):
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=15)
+    cfg.logging.tb_log_interval = 5
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=RCFG).setup()
+    tr.train(progress=False)
+    tr.color_reset()
+    assert np.isfinite(np.asarray(tr.state.params.opacity)).all()
