@@ -76,6 +76,24 @@ def cmd_train(args):
     )
     tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg).setup()
 
+    from eogs2_tpu.observability import MetricsLogger
+
+    logger = MetricsLogger(args.model_path)
+    logger.save_config({"preset": args.preset, "scene_dir": args.scene_dir,
+                        "model": cfg.model, "optimization": cfg.optimization})
+
+    def log_hook(trainer, m, iteration):
+        logger.log_scalars(m, iteration)
+        if iteration % (50 * cfg.logging.tb_log_interval) == 0:
+            print(
+                f"[{iteration:6d}] loss={m['loss']:.4f} "
+                f"photo={m['photometric']:.4f} psnr={m['psnr']:.2f} "
+                f"alive={m['alive']}",
+                flush=True,
+            )
+
+    tr.log_hook = log_hook
+
     mae_hook = None
     if args.eval_during_training and os.path.exists(
         os.path.join(args.scene_dir, "gt_heightfield.npy")

@@ -88,6 +88,7 @@ class OptimizationConfig:
     iterstart_L_TV_altitude: int = 9_999_999_999
     iterstart_L_erank: int = 9_999_999_999
     iterstart_L_accumulated_opacity: int = 9_999_999_999
+    iterstart_L_nll: int = 9_999_999_999
     iterstart_L_flowmatch: int = 99_999_999
     iterend_L_flowmatch: int = 9_999_999
     iterstart_flowmatching: int = 1500
@@ -108,6 +109,7 @@ class OptimizationConfig:
     w_L_erank: float = 0.0
     w_L_translucentshadows: float = 0.01
     w_L_accumulated_opacity: float = 0.0
+    w_L_nll: float = 0.0
     w_L_flowmatch: float = 0.1
     virtual_camera_extent: float = 0.01
     randomcamera_render_type: str = "rawrender"
@@ -143,6 +145,8 @@ class ModelConfig:
     rescaler_name: str = "clamper"
     train_to_test_cc_converter: str = "average"
     capacity_headroom: float = 1.25  # fixed-capacity slack over init count
+    use_transient: bool = False  # transient_params (train.yaml)
+    transient_init_value: float = 0.01
 
 
 @dataclasses.dataclass

@@ -149,7 +149,10 @@ def generate_scene(
         [np.sin(az_r) * np.cos(el_r), np.cos(az_r) * np.cos(el_r), np.sin(el_r)]
     )
 
+    ms = modality == "ms"
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    if ms:
+        os.makedirs(os.path.join(out_dir, "images_pan"), exist_ok=True)
     metadatas = []
     train_names, test_names = [], []
     import imageio.v2 as iio
@@ -168,6 +171,14 @@ def generate_scene(
         img, _ = _render_view(z, tex, A, sun_dir, width, height, alt_range=alt_range)
         name = f"view_{i:02d}.tif"
         iio.imwrite(os.path.join(out_dir, "images", name), img)
+        if ms:
+            # panchromatic companion: the WV3 spectral combination
+            w = (0.438469, 1.1331377, -0.6794343, 1.0, 0.0016913427)
+            pan = w[3] * (img @ np.asarray(w[:3], np.float32) + w[4])
+            iio.imwrite(
+                os.path.join(out_dir, "images_pan", name),
+                pan.astype(np.float32),
+            )
         sun_A, sun_b, sdir, myM = sun_model_from_affine(A, sun_dir)
         metadatas.append(
             {
@@ -228,7 +239,10 @@ def generate_scene(
     )
 
     with open(os.path.join(out_dir, "affine_models.json"), "w") as f:
-        json.dump(metadatas, f)
+        if ms:
+            json.dump({"msi": metadatas, "pan": metadatas}, f)
+        else:
+            json.dump(metadatas, f)
     with open(os.path.join(out_dir, "train.txt"), "w") as f:
         f.write("\n".join(train_names))
     with open(os.path.join(out_dir, "test.txt"), "w") as f:

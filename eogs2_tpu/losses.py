@@ -120,6 +120,22 @@ def flowmatch_loss(flow):
     return jnp.abs(jnp.mean(flow))
 
 
+def gaussian_nll_loss(pred, target, var, eps: float = 1e-6, mask=None):
+    """torch.nn.functional.gaussian_nll_loss parity (full=False):
+    0.5 * (log(max(var, eps)) + (pred-target)^2 / max(var, eps))."""
+    v = jnp.maximum(var, eps)
+    nll = 0.5 * (jnp.log(v) + (pred - target) ** 2 / v)
+    return masked_mean(nll, mask)
+
+
+def transient_nll_loss(image, gt_image, transient_mask, mask=None):
+    """Transient-material NLL (train_pan.py:433-449): variance from the
+    learnable per-pixel transient mask, betaprime = (clip(m,0,1)+1e-3)^2."""
+    betaprime = (jnp.clip(transient_mask, 0.0, 1.0) + 1e-3) ** 2
+    var = jnp.broadcast_to(betaprime[None], image.shape)
+    return gaussian_nll_loss(image, gt_image, var, mask=mask)
+
+
 def pan_l2_loss(pan, gt_pan):
     return jnp.mean((pan - gt_pan) ** 2)
 

@@ -40,11 +40,15 @@ class CameraShadingParams:
     exposure: jnp.ndarray  # [V,3,4] affine exposure (init [I|0])
     msi_to_pan_weight: jnp.ndarray  # [V,3] learnable spectral weights
     msi_to_pan_bias: jnp.ndarray  # [V] learnable offset
+    transient_mask: jnp.ndarray = None  # [V,H,W] (or [V,1,1] when unused)
 
 
-def init_shading_params(num_views: int) -> CameraShadingParams:
+def init_shading_params(num_views: int, transient_hw=None,
+                        transient_init: float = 0.01) -> CameraShadingParams:
     eye = jnp.eye(3, dtype=jnp.float32)
+    t_shape = (num_views,) + (tuple(transient_hw) if transient_hw else (1, 1))
     return CameraShadingParams(
+        transient_mask=jnp.full(t_shape, transient_init, jnp.float32),
         cc_weight=jnp.tile(eye[None], (num_views, 1, 1)),
         cc_bias=jnp.zeros((num_views, 3), jnp.float32),
         inshadow=jnp.full((num_views, 3), 0.05, jnp.float32),

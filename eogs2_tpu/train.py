@@ -102,7 +102,10 @@ def _pad_to_tile(img, valid_shape):
 
 
 def build_scene_tensors(scene: SceneData, repeat_gt: bool = False) -> SceneTensors:
-    views = [v for v in scene.train_views]
+    return build_scene_tensors_from_views(list(scene.train_views), repeat_gt)
+
+
+def build_scene_tensors_from_views(views, repeat_gt: bool = False) -> SceneTensors:
     w0, h0 = views[0].camera.width, views[0].camera.height
     affines, suns, c2s, bounds, imgs, masks = [], [], [], [], [], []
     for v in views:
@@ -144,22 +147,24 @@ def native_uv_grid(width_native, height_native, width_padded, height_padded):
 
 
 def make_train_step(
-    consts: SceneTensors,
+    modalities,  # tuple of (name, SceneTensors, pan_mode | None, shading_idx_off)
     cfg: TrainConfig,
     raster_cfg: RasterizeConfig,
     phase: Phase,
     gauss_tx,
     cam_tx,
-    pan_mode: Optional[str],
     spatial_lr_scale: float,
 ):
     """Build the jitted step for one Phase. Returns step(state, view_idx,
-    key, gates) -> (state, metrics)."""
+    key, gates) -> (state, metrics).
+
+    `modalities` lists the cameras processed per iteration — one entry for
+    the single-modality modes, {msi, pan} pairs for the dual MS mode
+    (get_list_cam parity, utils/camera_utils.py:22-31): losses from all
+    entries are summed before the single optimizer step, equivalent to the
+    reference's per-camera backward accumulation (train_pan.py:268-469).
+    """
     o = cfg.optimization
-    wn, hn = consts.native_wh
-    wp = consts.images.shape[-1]
-    hp = consts.images.shape[-2]
-    uv_grid = native_uv_grid(wn, hn, wp, hp)
     use_cc = cfg.model.camera_params.use_cc
     use_exposure = cfg.model.camera_params.use_exposure
     use_shadow = cfg.model.camera_params.use_shadow
@@ -173,186 +178,231 @@ def make_train_step(
         opacity=o.opacity_lr,
     )
 
-    def build_camera(affine, view_idx):
-        return AffineCamera(
-            affine=affine,
-            sun_affine=consts.sun_affines[view_idx],
-            camera_to_sun=consts.cam2sun[view_idx],
-            altitude_bounds=consts.alt_bounds[view_idx],
-            centerofscene=consts.centerofscene,
-            width=wn,
-            height=hn,
-        )
+    def build_modality_loss(consts: SceneTensors, pan_mode, idx_off: int):
+        wn, hn = consts.native_wh
+        wp = consts.images.shape[-1]
+        hp = consts.images.shape[-2]
+        uv_grid = native_uv_grid(wn, hn, wp, hp)
+
+        def build_camera(affine, view_idx):
+            return AffineCamera(
+                affine=affine,
+                sun_affine=consts.sun_affines[view_idx],
+                camera_to_sun=consts.cam2sun[view_idx],
+                altitude_bounds=consts.alt_bounds[view_idx],
+                centerofscene=consts.centerofscene,
+                width=wn,
+                height=hn,
+            )
+
+        def camera_loss(gparams, sparams, m2d_off, aux, raw_view_idx, key, gates):
+            view_idx = raw_view_idx + idx_off
+            model = GaussianModel(params=gparams, aux=aux, sh_degree=cfg.model.sh_degree)
+            k_bg, k_rand = jax.random.split(key)
+
+            affine = consts.affines[raw_view_idx]
+            if phase.learn_pose:
+                affine = affine.at[:, 3].add(sparams.last_row[view_idx, :3])
+            cam = build_camera(affine, raw_view_idx)
+
+            if o.random_background:
+                bg = jax.random.uniform(k_bg, (5,))
+            else:
+                bg = jnp.zeros((5,)) + (1.0 if cfg.model.white_background else 0.0)
+            if o.copy_background_firschan:
+                bg = bg.at[1:3].set(bg[0])
+            bg = bg.at[3].set(cam.altitude_bounds[0])
+            bg = bg.at[4].set(0.0)
+
+            # ---- main render (at the padded canvas) ----
+            rgb = SH2RGB(gparams.features_dc[:, 0, :])
+            alt = cam.ecef_to_uva(gparams.xyz)[:, 2:3]
+            feats = jnp.concatenate([rgb, alt, jnp.ones_like(alt)], axis=-1)
+            scaling = jnp.exp(gparams.scaling)
+            opacity = jax.nn.sigmoid(gparams.opacity[:, 0])
+            cam_r = cam.resize_canvas(wp, hp)
+            out = rasterize(
+                gparams.xyz, scaling, gparams.rotation, opacity, feats,
+                cam_r.affine, bg, wp, hp, raster_cfg, alive=aux.alive,
+                mean2d_ndc_offset=m2d_off,
+            )
+            raw_render = out.image[:3]
+            altitude = out.image[3]
+            acc_opacity = out.image[4]
+            rendered_uva = jnp.concatenate([uv_grid, altitude[..., None]], axis=-1)
+
+            def render_virtual(vcam, cam2virt, vw, vh):
+                vfeats = jnp.concatenate(
+                    [rgb, vcam.ecef_to_uva(gparams.xyz)[:, 2:3], jnp.ones_like(alt)],
+                    axis=-1,
+                )
+                vout = rasterize(
+                    gparams.xyz, scaling, gparams.rotation, opacity, vfeats,
+                    vcam.affine, bg, vw, vh, raster_cfg, alive=aux.alive,
+                )
+                v_uv = jnp.einsum("ij,hwj->hwi", cam2virt, rendered_uva)[..., :2]
+                samp = grid_sample(vout.image[:4], v_uv, align_corners=True)
+                alt_s = jnp.where(
+                    jnp.any(jnp.abs(v_uv) > 1.0, axis=-1), -100.0, samp[3]
+                )
+                return samp[:3], alt_s, v_uv
+
+            terms = {}
+            sun_altitude_diff = None
+            if phase.enable_sun:
+                sun_cam, cam2sun = cam.sun_camera(f=2)
+                # pad the 2x canvas to tile multiples via resize_canvas
+                sw = ((sun_cam.width + TILE - 1) // TILE) * TILE
+                sh_ = ((sun_cam.height + TILE - 1) // TILE) * TILE
+                sun_rgb, sun_alt, sun_uv = render_virtual(
+                    sun_cam.resize_canvas(sw, sh_), cam2sun, sw, sh_
+                )
+                sun_altitude_diff = altitude - sun_alt
+                alt_t, rgb_t = L.suncamera_loss(raw_render, sun_rgb, sun_altitude_diff, sun_uv)
+                terms["L_sun_altitude_resample"] = gates["sun_resample"] * alt_t
+                terms["L_sun_rgb_resample"] = gates["sun_resample"] * rgb_t
+
+            # ---- shading pipeline ----
+            shaded_out = render_pipeline(
+                raw_render,
+                sun_altitude_diff,
+                sparams.cc_weight[view_idx],
+                sparams.cc_bias[view_idx],
+                sparams.inshadow[view_idx],
+                use_cc=use_cc,
+                use_shadow=use_shadow,
+                exposure=sparams.exposure[view_idx],
+                use_exposure=use_exposure,
+                pan_mode=pan_mode,
+                pan_weight=sparams.msi_to_pan_weight[view_idx],
+                pan_bias=sparams.msi_to_pan_bias[view_idx],
+                weird_pan_setup=cfg.model.weird_pan_setup,
+            )
+            image = shaded_out["final"]
+            gt_image = consts.images[raw_view_idx]
+            valid = consts.image_valid[raw_view_idx]
+
+            # ---- flow matching (internal camera refinement) ----
+            # perform_flow_matching parity (flow_matching.py:293-329): estimate
+            # the gt->render flow, warp the render into the gt frame, discard
+            # when the mean |flow| exceeds max_value_flow. The constant-
+            # displacement default (raft_small recipe) uses the FFT phase-
+            # correlation estimator; flow coordinates are stop-gradiented like
+            # the reference's detached grid (flow_matching.py:249).
+            flow_mag = jnp.float32(0.0)
+            if phase.enable_flowmatch:
+                from eogs2_tpu.flow import apply_flow_to_image, phase_correlation_shift
+
+                fdx, fdy = phase_correlation_shift(
+                    jax.lax.stop_gradient(gt_image), jax.lax.stop_gradient(image)
+                )
+                flow_mag = (jnp.abs(fdx) + jnp.abs(fdy)) * 0.5
+                accept = (
+                    flow_mag < o.flowmatching.max_value_flow
+                ) & (gates["flowmatch"] > 0.5)
+                warped = apply_flow_to_image(image, fdx, fdy)
+                image = jnp.where(accept, warped, image)
+
+            # ---- random virtual camera consistency ----
+            if phase.enable_random:
+                new_cam, cam2new = cam.random_camera(k_rand, o.virtual_camera_extent)
+                new_rgb, new_alt, new_uv = render_virtual(
+                    new_cam.resize_canvas(wp, hp), cam2new, wp, hp
+                )
+                rgb_ref = raw_render  # 'rawrender' render type (train.yaml default)
+                alt_t, rgb_t = L.randomcam_loss(altitude, new_alt, rgb_ref, new_rgb, new_uv)
+                terms["L_new_altitude_resample"] = gates["new_resample"] * alt_t
+                terms["L_new_rgb_resample"] = gates["new_resample"] * rgb_t
+
+            # ---- scalar regularizers ----
+            terms["L_opacity"] = gates["opacity"] * L.opacity_loss(
+                opacity, aux.alive, gates["init_count"]
+            )
+            terms["L_opacity_radii"] = gates["opacity_radii"] * L.radii_opacity_loss(
+                opacity, out.radii, gates["init_count"]
+            )
+            terms["L_erank"] = gates["erank"] * L.erank_loss(scaling, aux.alive)
+            terms["L_TV_altitude"] = gates["tv"] * L.tv_altitude_loss(altitude)
+            terms["L_accumulated_opacity"] = gates["acc_opacity"] * (
+                L.accumulated_opacity_loss(acc_opacity, valid[0])
+            )
+            if shaded_out["shadowmap"] is not None:
+                terms["L_translucentshadows"] = L.translucent_shadows_loss(
+                    shaded_out["shadowmap"], valid[0]
+                )
+            else:
+                terms["L_translucentshadows"] = jnp.float32(0.0)
+
+            # transient-material NLL (train_pan.py:433-449; gated off by default)
+            terms["L_nll"] = gates["nll"] * L.transient_nll_loss(
+                image, gt_image, sparams.transient_mask[view_idx], mask=valid
+            )
+
+            photometric, ll1 = L.photometric_loss(
+                image, gt_image, o.lambda_dssim, mask=valid
+            )
+            terms["Lphotometric"] = photometric
+
+            total = (
+                o.w_L_photometric * terms["Lphotometric"]
+                + o.w_L_opacity * terms["L_opacity"]
+                + o.w_L_opacity_radii * terms["L_opacity_radii"]
+                + o.w_L_sun_altitude_resample * terms.get("L_sun_altitude_resample", 0.0)
+                + o.w_L_sun_rgb_resample * terms.get("L_sun_rgb_resample", 0.0)
+                + o.w_L_new_altitude_resample * terms.get("L_new_altitude_resample", 0.0)
+                + o.w_L_new_rgb_resample * terms.get("L_new_rgb_resample", 0.0)
+                + o.w_L_TV_altitude * terms["L_TV_altitude"]
+                + o.w_L_erank * terms["L_erank"]
+                + o.w_L_translucentshadows * terms["L_translucentshadows"]
+                + o.w_L_accumulated_opacity * terms["L_accumulated_opacity"]
+                + getattr(o, "w_L_nll", 0.0) * terms["L_nll"]
+            )
+            metrics = {
+                "loss": total,
+                "flow_mag": flow_mag,
+                "L1": ll1,
+                "photometric": photometric,
+                "psnr": -10.0
+                * jnp.log10(
+                    L.masked_mean((image - gt_image) ** 2, valid) + 1e-12
+                ),
+                "num_pairs": out.num_pairs,
+                "max_tile": out.max_tile_count,
+                **{k: v for k, v in terms.items()},
+            }
+            return total, (metrics, out.radii)
+
+        return camera_loss
+
+    mod_losses = [
+        (name, build_modality_loss(consts, pan_mode, idx_off))
+        for (name, consts, pan_mode, idx_off) in modalities
+    ]
 
     def loss_fn(gparams, sparams, m2d_off, aux, view_idx, key, gates):
-        model = GaussianModel(params=gparams, aux=aux, sh_degree=cfg.model.sh_degree)
-        k_bg, k_rand = jax.random.split(key)
-
-        affine = consts.affines[view_idx]
-        if phase.learn_pose:
-            affine = affine.at[:, 3].add(sparams.last_row[view_idx, :3])
-        cam = build_camera(affine, view_idx)
-
-        if o.random_background:
-            bg = jax.random.uniform(k_bg, (5,))
-        else:
-            bg = jnp.zeros((5,)) + (1.0 if cfg.model.white_background else 0.0)
-        if o.copy_background_firschan:
-            bg = bg.at[1:3].set(bg[0])
-        bg = bg.at[3].set(cam.altitude_bounds[0])
-        bg = bg.at[4].set(0.0)
-
-        # ---- main render (at the padded canvas) ----
-        rgb = SH2RGB(gparams.features_dc[:, 0, :])
-        alt = cam.ecef_to_uva(gparams.xyz)[:, 2:3]
-        feats = jnp.concatenate([rgb, alt, jnp.ones_like(alt)], axis=-1)
-        scaling = jnp.exp(gparams.scaling)
-        opacity = jax.nn.sigmoid(gparams.opacity[:, 0])
-        cam_r = cam.resize_canvas(wp, hp)
-        out = rasterize(
-            gparams.xyz, scaling, gparams.rotation, opacity, feats,
-            cam_r.affine, bg, wp, hp, raster_cfg, alive=aux.alive,
-            mean2d_ndc_offset=m2d_off,
-        )
-        raw_render = out.image[:3]
-        altitude = out.image[3]
-        acc_opacity = out.image[4]
-        rendered_uva = jnp.concatenate([uv_grid, altitude[..., None]], axis=-1)
-
-        def render_virtual(vcam, cam2virt, vw, vh):
-            vfeats = jnp.concatenate(
-                [rgb, vcam.ecef_to_uva(gparams.xyz)[:, 2:3], jnp.ones_like(alt)],
-                axis=-1,
+        total = jnp.float32(0.0)
+        metrics = {}
+        radii = None
+        keys = jax.random.split(key, len(mod_losses))
+        for (name, closs), k in zip(mod_losses, list(keys)):
+            t, (m, r) = closs(gparams, sparams, m2d_off, aux, view_idx, k, gates)
+            total = total + t
+            prefix = "" if len(mod_losses) == 1 else f"{name}_"
+            for mk, mv in m.items():
+                metrics[prefix + mk] = mv
+            radii = r if radii is None else jnp.maximum(radii, r)
+        if len(mod_losses) > 1:
+            metrics["loss"] = total
+            metrics["photometric"] = sum(
+                metrics[f"{n}_photometric"] for n, _ in mod_losses
+            ) / len(mod_losses)
+            metrics["psnr"] = sum(
+                metrics[f"{n}_psnr"] for n, _ in mod_losses
+            ) / len(mod_losses)
+            metrics["L1"] = sum(metrics[f"{n}_L1"] for n, _ in mod_losses) / len(
+                mod_losses
             )
-            vout = rasterize(
-                gparams.xyz, scaling, gparams.rotation, opacity, vfeats,
-                vcam.affine, bg, vw, vh, raster_cfg, alive=aux.alive,
-            )
-            v_uv = jnp.einsum("ij,hwj->hwi", cam2virt, rendered_uva)[..., :2]
-            samp = grid_sample(vout.image[:4], v_uv, align_corners=True)
-            alt_s = jnp.where(
-                jnp.any(jnp.abs(v_uv) > 1.0, axis=-1), -100.0, samp[3]
-            )
-            return samp[:3], alt_s, v_uv
-
-        terms = {}
-        sun_altitude_diff = None
-        if phase.enable_sun:
-            sun_cam, cam2sun = cam.sun_camera(f=2)
-            # pad the 2x canvas to tile multiples via resize_canvas
-            sw = ((sun_cam.width + TILE - 1) // TILE) * TILE
-            sh_ = ((sun_cam.height + TILE - 1) // TILE) * TILE
-            sun_rgb, sun_alt, sun_uv = render_virtual(
-                sun_cam.resize_canvas(sw, sh_), cam2sun, sw, sh_
-            )
-            sun_altitude_diff = altitude - sun_alt
-            alt_t, rgb_t = L.suncamera_loss(raw_render, sun_rgb, sun_altitude_diff, sun_uv)
-            terms["L_sun_altitude_resample"] = gates["sun_resample"] * alt_t
-            terms["L_sun_rgb_resample"] = gates["sun_resample"] * rgb_t
-
-        # ---- shading pipeline ----
-        shaded_out = render_pipeline(
-            raw_render,
-            sun_altitude_diff,
-            sparams.cc_weight[view_idx],
-            sparams.cc_bias[view_idx],
-            sparams.inshadow[view_idx],
-            use_cc=use_cc,
-            use_shadow=use_shadow,
-            exposure=sparams.exposure[view_idx],
-            use_exposure=use_exposure,
-            pan_mode=pan_mode,
-            pan_weight=sparams.msi_to_pan_weight[view_idx],
-            pan_bias=sparams.msi_to_pan_bias[view_idx],
-            weird_pan_setup=cfg.model.weird_pan_setup,
-        )
-        image = shaded_out["final"]
-        gt_image = consts.images[view_idx]
-        valid = consts.image_valid[view_idx]
-
-        # ---- flow matching (internal camera refinement) ----
-        # perform_flow_matching parity (flow_matching.py:293-329): estimate
-        # the gt->render flow, warp the render into the gt frame, discard
-        # when the mean |flow| exceeds max_value_flow. The constant-
-        # displacement default (raft_small recipe) uses the FFT phase-
-        # correlation estimator; flow coordinates are stop-gradiented like
-        # the reference's detached grid (flow_matching.py:249).
-        flow_mag = jnp.float32(0.0)
-        if phase.enable_flowmatch:
-            from eogs2_tpu.flow import apply_flow_to_image, phase_correlation_shift
-
-            fdx, fdy = phase_correlation_shift(
-                jax.lax.stop_gradient(gt_image), jax.lax.stop_gradient(image)
-            )
-            flow_mag = (jnp.abs(fdx) + jnp.abs(fdy)) * 0.5
-            accept = (
-                flow_mag < o.flowmatching.max_value_flow
-            ) & (gates["flowmatch"] > 0.5)
-            warped = apply_flow_to_image(image, fdx, fdy)
-            image = jnp.where(accept, warped, image)
-
-        # ---- random virtual camera consistency ----
-        if phase.enable_random:
-            new_cam, cam2new = cam.random_camera(k_rand, o.virtual_camera_extent)
-            new_rgb, new_alt, new_uv = render_virtual(
-                new_cam.resize_canvas(wp, hp), cam2new, wp, hp
-            )
-            rgb_ref = raw_render  # 'rawrender' render type (train.yaml default)
-            alt_t, rgb_t = L.randomcam_loss(altitude, new_alt, rgb_ref, new_rgb, new_uv)
-            terms["L_new_altitude_resample"] = gates["new_resample"] * alt_t
-            terms["L_new_rgb_resample"] = gates["new_resample"] * rgb_t
-
-        # ---- scalar regularizers ----
-        terms["L_opacity"] = gates["opacity"] * L.opacity_loss(
-            opacity, aux.alive, gates["init_count"]
-        )
-        terms["L_opacity_radii"] = gates["opacity_radii"] * L.radii_opacity_loss(
-            opacity, out.radii, gates["init_count"]
-        )
-        terms["L_erank"] = gates["erank"] * L.erank_loss(scaling, aux.alive)
-        terms["L_TV_altitude"] = gates["tv"] * L.tv_altitude_loss(altitude)
-        terms["L_accumulated_opacity"] = gates["acc_opacity"] * (
-            L.accumulated_opacity_loss(acc_opacity, valid[0])
-        )
-        if shaded_out["shadowmap"] is not None:
-            terms["L_translucentshadows"] = L.translucent_shadows_loss(
-                shaded_out["shadowmap"], valid[0]
-            )
-        else:
-            terms["L_translucentshadows"] = jnp.float32(0.0)
-
-        photometric, ll1 = L.photometric_loss(
-            image, gt_image, o.lambda_dssim, mask=valid
-        )
-        terms["Lphotometric"] = photometric
-
-        total = (
-            o.w_L_photometric * terms["Lphotometric"]
-            + o.w_L_opacity * terms["L_opacity"]
-            + o.w_L_opacity_radii * terms["L_opacity_radii"]
-            + o.w_L_sun_altitude_resample * terms.get("L_sun_altitude_resample", 0.0)
-            + o.w_L_sun_rgb_resample * terms.get("L_sun_rgb_resample", 0.0)
-            + o.w_L_new_altitude_resample * terms.get("L_new_altitude_resample", 0.0)
-            + o.w_L_new_rgb_resample * terms.get("L_new_rgb_resample", 0.0)
-            + o.w_L_TV_altitude * terms["L_TV_altitude"]
-            + o.w_L_erank * terms["L_erank"]
-            + o.w_L_translucentshadows * terms["L_translucentshadows"]
-            + o.w_L_accumulated_opacity * terms["L_accumulated_opacity"]
-        )
-        metrics = {
-            "loss": total,
-            "flow_mag": flow_mag,
-            "L1": ll1,
-            "photometric": photometric,
-            "psnr": -10.0
-            * jnp.log10(
-                L.masked_mean((image - gt_image) ** 2, valid) + 1e-12
-            ),
-            "num_pairs": out.num_pairs,
-            "max_tile": out.max_tile_count,
-            **{k: v for k, v in terms.items()},
-        }
-        return total, (metrics, out.radii)
+        return total, (metrics, radii)
 
     @jax.jit
     def step(state: TrainState, view_idx, key, gates):
@@ -421,6 +471,7 @@ def make_gates(cfg: TrainConfig, iteration: int, init_count: int) -> Dict[str, j
         "flowmatch": gate(
             o.iterstart_flowmatching, o.flowmatching.iterend_flowmatching
         ),
+        "nll": gate(getattr(o, "iterstart_L_nll", 9_999_999_999)),
         "init_count": jnp.float32(init_count),
     }
 
@@ -453,7 +504,24 @@ class Trainer:
     def setup(self):
         cfg = self.cfg
         scene = self.scene
-        self.consts = build_scene_tensors(scene, repeat_gt=cfg.model.repeat_gt)
+        # group views by modality (MS scenes pair msi+pan per view index)
+        msi_views = [v for v in scene.train_views if v.image_type == "msi"]
+        pan_views = [v for v in scene.train_views if v.image_type == "pan"]
+        self.modal_views = []
+        if cfg.model.load_msi and msi_views:
+            self.modal_views.append(("msi", msi_views))
+        if cfg.model.load_pan and pan_views:
+            self.modal_views.append(("pan", pan_views))
+        assert self.modal_views, "no views selected by load_msi/load_pan"
+        if len(self.modal_views) == 2:
+            assert len(msi_views) == len(pan_views), "unpaired MS views"
+        self.consts_by_modality = {
+            name: build_scene_tensors_from_views(
+                views, repeat_gt=cfg.model.repeat_gt and name == "pan"
+            )
+            for name, views in self.modal_views
+        }
+        self.consts = self.consts_by_modality[self.modal_views[0][0]]
         n_init = len(scene.init_xyz)
         capacity = int(n_init * cfg.model.capacity_headroom)
         capacity = ((capacity + 127) // 128) * 128
@@ -465,8 +533,20 @@ class Trainer:
             opacity_init_value=cfg.model.opacity_init_value,
         )
         self.init_count = n_init
-        num_views = len(scene.train_views)
-        shading = init_shading_params(num_views)
+        num_views = len(self.modal_views[0][1])
+        share_cc = cfg.model.share_color_correction
+        num_shading = num_views * (1 if share_cc or len(self.modal_views) == 1
+                                   else len(self.modal_views))
+        transient_hw = (
+            (self.consts.images.shape[-2], self.consts.images.shape[-1])
+            if cfg.model.use_transient
+            else None
+        )
+        shading = init_shading_params(
+            num_shading, transient_hw=transient_hw,
+            transient_init=cfg.model.transient_init_value,
+        )
+        self._share_cc = share_cc
         self.gauss_tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15)
         self.cam_tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
         self.state = TrainState(
@@ -493,16 +573,24 @@ class Trainer:
         self.metrics_history = []
         return self
 
+    def _modalities(self):
+        num_views = len(self.modal_views[0][1])
+        mods = []
+        for i, (name, _) in enumerate(self.modal_views):
+            pan_mode = self.pan_mode if name == "pan" else None
+            idx_off = 0 if (self._share_cc or i == 0) else i * num_views
+            mods.append((name, self.consts_by_modality[name], pan_mode, idx_off))
+        return tuple(mods)
+
     def _get_step(self, phase: Phase):
         if phase not in self._steps:
             self._steps[phase] = make_train_step(
-                self.consts,
+                self._modalities(),
                 self.cfg,
                 self.raster_cfg,
                 phase,
                 self.gauss_tx,
                 self.cam_tx,
-                self.pan_mode,
                 spatial_lr_scale=self.scene.cameras_extent,
             )
         return self._steps[phase]

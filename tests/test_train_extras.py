@@ -67,3 +67,31 @@ def test_color_reset_runs(scene_dir):
     tr.train(progress=False)
     tr.color_reset()
     assert np.isfinite(np.asarray(tr.state.params.opacity)).all()
+
+
+def test_dual_modality_training(tmp_path):
+    """MS mode: msi + pan cameras per view in one step (mode 'fixed')."""
+    from eogs2_tpu.data.synthetic import generate_scene as gen
+
+    d = str(tmp_path / "ms_scene")
+    gen(d, n_views=3, width=32, height=32, hf_res=64, n_buildings=2,
+        scale=8.0, seed=7, modality="ms")
+    scene = load_scene(
+        d,
+        images_msi_path=os.path.join(d, "images"),
+        images_pan_path=os.path.join(d, "images_pan"),
+        eval_split=True, load_pan=True, load_msi=True,
+    )
+    types = {v.image_type for v in scene.train_views}
+    assert types == {"msi", "pan"}
+    cfg = baseogs(d, iterations=12)
+    cfg.model.load_pan = True
+    cfg.model.load_msi = True
+    cfg.model.msi_to_pan_name = "fixed"
+    cfg.logging.tb_log_interval = 6
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=RCFG).setup()
+    assert len(tr.modal_views) == 2
+    tr.train(progress=False)
+    m = tr.metrics_history[-1]
+    assert np.isfinite(m["loss"])
+    assert "msi_photometric" in m and "pan_photometric" in m
