@@ -46,7 +46,9 @@ def main():
     feat = np.concatenate([rgb, alt[:, None], np.ones((n, 1), np.float32)], 1)
     bg = np.array([0, 0, 0, -1, 0], np.float32)
     args = [jnp.asarray(x) for x in (means, scales, quats, opac, feat, affine, bg)]
-    cfg = RasterizeConfig(pair_capacity=1 << 20, tile_capacity=2048, tile_chunk=128)
+    cfg = RasterizeConfig(
+        tile_capacity=512, tile_chunk=64, max_tiles_per_gaussian=8,
+    )
 
     def loss(means, scales, quats, opac, feat, affine, bg):
         out = rasterize(means, scales, quats, opac, feat, affine, bg, w, h, cfg)
@@ -56,12 +58,15 @@ def main():
     # warmup / compile
     v, g = vgrad(*args)
     jax.block_until_ready((v, g))
+    float(v)  # force a full host sync (the axon platform's block_until_ready
+    # returns before remote execution completes; a value fetch does not)
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         v, g = vgrad(*args)
     jax.block_until_ready((v, g))
+    float(v)
     dt = (time.perf_counter() - t0) / iters
 
     mrays = (w * h) / dt / 1e6

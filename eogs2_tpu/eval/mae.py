@@ -17,8 +17,22 @@ from typing import Optional
 
 import numpy as np
 
-from eogs2_tpu.eval.registration import dsm_pointwise_diff
 from eogs2_tpu.io.geotiff import Affine, read_geotiff
+
+
+def dsm_pointwise_diff(pred_dsm, gt_dsm):
+    """Register + clip + diff (eval_dsm.py:56-70), using the native
+    C++/OpenMP registration when available (eogs2_tpu/native), else the
+    vectorized numpy path."""
+    from eogs2_tpu import native
+
+    transform = native.compute_shift(gt_dsm, pred_dsm, scaling=False)
+    pred_rdsm = native.apply_shift(pred_dsm, *transform)
+    h = min(pred_rdsm.shape[0], gt_dsm.shape[0])
+    w = min(pred_rdsm.shape[1], gt_dsm.shape[1])
+    pred_rdsm = np.clip(pred_rdsm, np.nanmin(gt_dsm) - 10, np.nanmax(gt_dsm) + 10)
+    diff = pred_rdsm[:h, :w] - gt_dsm[:h, :w]
+    return diff, pred_rdsm
 
 
 def mask_dsm(dsm, water_mask=None, vis_mask=None, tree_mask=None):

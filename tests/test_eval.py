@@ -88,3 +88,29 @@ def test_mae_computer_detects_error():
     bad = gt + rng.rand(128, 128) * 4
     mae, _, _ = mc.compute_mae(bad, t)
     assert 0.5 < mae < 4.0
+
+
+def test_native_registration_matches_numpy():
+    """C++/OpenMP dsmr kernels agree with the numpy reference path."""
+    from eogs2_tpu import native
+    from eogs2_tpu.eval import registration as reg
+
+    lib = native.get_lib()
+    assert lib is not None, "native build failed (g++ present in this env)"
+    rng = np.random.RandomState(7)
+    from scipy.ndimage import gaussian_filter
+
+    base = gaussian_filter(rng.rand(150, 140) * 12, 2)
+    base[rng.rand(150, 140) < 0.02] = np.nan  # exercise NaN handling
+    shifted = reg.apply_shift(base, 2, -3, 1.0, -0.7)
+
+    np_res = reg.compute_shift(base, shifted, scaling=False)
+    c_res = native.compute_shift(base, shifted, scaling=False)
+    assert np_res[:2] == c_res[:2], (np_res, c_res)
+    np.testing.assert_allclose(c_res[2:], np_res[2:], rtol=1e-10)
+
+    out_np = reg.apply_shift(shifted, *np_res)
+    out_c = native.apply_shift(shifted, *c_res)
+    both = np.isfinite(out_np) & np.isfinite(out_c)
+    np.testing.assert_allclose(out_c[both], out_np[both], rtol=1e-12)
+    assert (np.isnan(out_np) == np.isnan(out_c)).all()
