@@ -68,6 +68,11 @@ def cmd_train(args):
         cfg.optimization.densify_until_iter = args.iterations
     cfg.logging.model_path = args.model_path
     cfg.seed = args.seed
+    if args.checkpoint_every:
+        cfg.checkpoint_iterations = tuple(
+            range(args.checkpoint_every, cfg.optimization.iterations + 1,
+                  args.checkpoint_every)
+        )
     scene = _load(args, load_pan=cfg.model.load_pan, load_msi=cfg.model.load_msi)
     rcfg = RasterizeConfig(
         pair_capacity=1 << args.log2_pair_capacity,
@@ -75,6 +80,9 @@ def cmd_train(args):
         tile_chunk=args.tile_chunk,
     )
     tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg).setup()
+    if args.start_checkpoint:
+        it0 = tr.restore(args.start_checkpoint)
+        print(f"restored checkpoint at iteration {it0}")
 
     from eogs2_tpu.observability import MetricsLogger
 
@@ -226,6 +234,8 @@ def build_parser():
         sp.add_argument("--tile-chunk", type=int, default=64)
         sp.add_argument("--eval-during-training", action="store_true")
         sp.add_argument("--iteration", type=int, default=-1)
+        sp.add_argument("--start-checkpoint", default="")
+        sp.add_argument("--checkpoint-every", type=int, default=0)
 
     for name, fn in [
         ("train", cmd_train),

@@ -1,0 +1,153 @@
+"""Sort-carried pair pipeline: binning + densification with NO random
+gathers and NO scatters in either direction.
+
+Motivation (measured on the target chip): XLA's random gather of the
+[tiles, K] pair data costs ~14 ms and its scatter-add transpose ~30 ms,
+while lax.sort carrying float payload columns moves the same bytes in
+~3-12 ms. So both directions are expressed as payload-carrying sorts:
+
+  forward
+    1. pack per-Gaussian data -> [N, F] (elementwise)
+    2. broadcast to the dense pair table [N*Tcap, F] with (tile, depth) keys
+    3. ONE lax.sort by (tile, depth) carrying the F payload columns AND the
+       emission index iota
+    4. the dense [T, K, F] view gathers CONTIGUOUS ranges (tstart[t]+k)
+
+  backward (custom VJP)
+    5. dense [T, K, F] cotangents flatten keyed by each slot's saved
+       emission index (pads -> big key)
+    6. ONE lax.sort by that key returns every cotangent to its emission
+       position (ranges are disjoint, so positions are unique); when no
+       pair was dropped the sorted keys are exactly 0..P-1 and a reshape
+       suffices; a rare tile-overflow drop falls back to one scatter
+    7. reshape-sum [N, Tcap, F] -> [N, F] — per-Gaussian accumulation with
+       no scatter
+
+Requires tile_capacity >= the densest tile (the same condition the dense
+view already needs for correctness).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from eogs2_tpu.ops.binning import grid_dims
+from eogs2_tpu.ops.projection import Preprocessed
+
+
+class PairDense(NamedTuple):
+    data: jnp.ndarray  # [T, K, F] densified pair payload
+    mask: jnp.ndarray  # [T, K] valid
+    tile_count: jnp.ndarray  # [n_tiles]
+    num_pairs: jnp.ndarray  # [] true demand
+    max_tile_count: jnp.ndarray  # []
+
+
+def _emission_keys(prep: Preprocessed, width, height, tcap):
+    grid_x, grid_y = grid_dims(width, height)
+    n_tiles = grid_x * grid_y
+    n = prep.depth.shape[0]
+    tiles = jnp.minimum(prep.tiles_touched, tcap)
+    t = jnp.arange(tcap, dtype=jnp.int32)[None, :]
+    rw = jnp.maximum(prep.rect_size[:, 0], 1)[:, None]
+    ty = t // rw
+    tx = t - ty * rw
+    tile_id = (prep.rect_min[:, 1][:, None] + ty) * grid_x + (
+        prep.rect_min[:, 0][:, None] + tx
+    )
+    valid = t < tiles[:, None]
+    # float32 keys: tile ids are far below 2^24, exact in f32
+    tile_tab = jnp.where(valid, tile_id, n_tiles).reshape(-1).astype(jnp.float32)
+    depth_tab = jnp.broadcast_to(prep.depth[:, None], (n, tcap)).reshape(-1)
+    return tile_tab, depth_tab, n_tiles
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _sorted_dense(pay, tile_tab, depth_tab, shape_info, tcap):
+    out, _ = _fwd_impl(pay, tile_tab, depth_tab, shape_info, tcap)
+    return out
+
+
+def _fwd_impl(pay, tile_tab, depth_tab, shape_info, tcap):
+    n_tiles, k_cap = shape_info
+    p = tile_tab.shape[0]
+    n, f = pay.shape
+    pay_tab = jnp.broadcast_to(pay[:, None, :], (n, tcap, f)).reshape(p, f)
+    iota = jnp.arange(p, dtype=jnp.int32)
+    ops = (tile_tab, depth_tab, iota) + tuple(pay_tab[:, j] for j in range(f))
+    sorted_ops = jax.lax.sort(ops, num_keys=2)
+    sort_tile = sorted_ops[0]
+    src_idx = sorted_ops[2]
+    pay_sorted = jnp.stack(sorted_ops[3:], axis=-1)  # [P, F]
+
+    tids = jnp.arange(n_tiles, dtype=jnp.float32)
+    tstart = jnp.searchsorted(sort_tile, tids).astype(jnp.int32)
+    tend = jnp.searchsorted(sort_tile, tids + 1.0).astype(jnp.int32)
+    count = tend - tstart
+    k = jnp.arange(k_cap, dtype=jnp.int32)
+    pidx = tstart[:, None] + k[None, :]
+    mask = k[None, :] < jnp.minimum(count, k_cap)[:, None]
+    pidx_c = jnp.where(mask, pidx, p - 1)
+    dense = pay_sorted[pidx_c] * mask[:, :, None]
+    return (dense, mask, count), (src_idx, pidx, mask, n)
+
+
+def _fwd(pay, tile_tab, depth_tab, shape_info, tcap):
+    out, res = _fwd_impl(pay, tile_tab, depth_tab, shape_info, tcap)
+    return out, res
+
+
+def _bwd_full(shape_info, tcap, res, cots):
+    """Inverse of sort+densify without random gathers:
+      1. place dense-slot cotangents back at their *sorted-order* positions
+         (pidx ranges are contiguous and disjoint -> one scatter-set)
+      2. one lax.sort by the saved emission permutation carries them back to
+         emission (gaussian-major) order
+      3. reshape-sum folds the Tcap copies into per-Gaussian cotangents.
+    """
+    src_idx, pidx, mask, n = res
+    g_dense, _, _ = cots
+    f = g_dense.shape[-1]
+    p = n * tcap
+    flat_idx = jnp.where(mask, pidx, p).reshape(-1)
+    rows = g_dense.reshape(-1, f)
+    cot_sorted = jnp.zeros((p + 1, f), g_dense.dtype).at[flat_idx].set(
+        rows, mode="drop"
+    )[:p]
+    ops = (src_idx,) + tuple(cot_sorted[:, j] for j in range(f))
+    back = jax.lax.sort(ops, num_keys=1)
+    g_emission = jnp.stack(back[1:], axis=-1)
+    g_pay = g_emission.reshape(n, tcap, f).sum(axis=1)
+    zeros_keys = jnp.zeros((p,), jnp.float32)
+    return (g_pay, zeros_keys, zeros_keys)
+
+
+_sorted_dense.defvjp(_fwd, _bwd_full)
+
+
+def densify_pairs(prep: Preprocessed, features, width: int, height: int,
+                  tcap: int, tile_capacity: int) -> PairDense:
+    """Differentiable dense [T,K,F] pair table via the sort-carried pipeline.
+
+    F layout: mx, my, ca, cb, cc, opacity, feat[C].
+    """
+    tile_tab, depth_tab, n_tiles = _emission_keys(
+        jax.tree.map(jax.lax.stop_gradient, prep), width, height, tcap
+    )
+    pay = jnp.concatenate(
+        [prep.mean2d, prep.conic, prep.opacity[:, None], features], axis=-1
+    )
+    dense, mask, count = _sorted_dense(
+        pay, tile_tab, depth_tab, (n_tiles, tile_capacity), tcap
+    )
+    return PairDense(
+        data=dense,
+        mask=mask,
+        tile_count=count,
+        num_pairs=jnp.sum(prep.tiles_touched),
+        max_tile_count=jnp.max(count),
+    )

@@ -47,6 +47,7 @@ class RasterizeConfig:
     antialiasing: bool = False
     use_custom_vjp: bool = True
     use_pallas: bool = False  # Pallas blend kernels (TPU only)
+    binning_mode: str = "gather"  # "gather" | "sorted" (sort-carried payloads)
 
     def bucketed(self, max_tile: int, max_tiles_per_gaussian: int) -> "RasterizeConfig":
         """Next power-of-two bucket that fits the observed sizes."""
@@ -122,24 +123,42 @@ def rasterize(
         px_scale = jnp.array([0.5 * width, 0.5 * height], dtype=prep.mean2d.dtype)
         prep = prep._replace(mean2d=prep.mean2d + mean2d_ndc_offset * px_scale)
 
-    binning = bin_gaussians(
-        jax.lax.stop_gradient(prep),
-        width,
-        height,
-        pair_capacity=config.pair_capacity,
-        max_tiles_per_gaussian=config.max_tiles_per_gaussian,
-    )
+    if config.binning_mode == "sorted":
+        from eogs2_tpu.ops.pair_pipeline import densify_pairs
 
-    pair_idx, tile_mask = tile_pair_indices(binning, config.tile_capacity)
-    gidx = binning.pair_gauss[pair_idx]  # [T,K]
-    mask = tile_mask & binning.pair_valid[pair_idx]
+        pd = densify_pairs(
+            prep, features, width, height,
+            tcap=config.max_tiles_per_gaussian,
+            tile_capacity=config.tile_capacity,
+        )
+        g_mean2d = pd.data[..., 0:2]
+        g_conic = pd.data[..., 2:5]
+        g_opac = pd.data[..., 5]
+        g_feat = pd.data[..., 6:]
+        mask = pd.mask
+        num_pairs = pd.num_pairs
+        max_tile_count = pd.max_tile_count
+    else:
+        binning = bin_gaussians(
+            jax.lax.stop_gradient(prep),
+            width,
+            height,
+            pair_capacity=config.pair_capacity,
+            max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+        )
 
-    # Differentiable gathers: their VJP is the scatter-add that replaces
-    # CUDA's atomicAdd gradient accumulation.
-    g_mean2d = prep.mean2d[gidx]  # [T,K,2]
-    g_conic = prep.conic[gidx]  # [T,K,3]
-    g_opac = prep.opacity[gidx]  # [T,K]
-    g_feat = features[gidx]  # [T,K,C]
+        pair_idx, tile_mask = tile_pair_indices(binning, config.tile_capacity)
+        gidx = binning.pair_gauss[pair_idx]  # [T,K]
+        mask = tile_mask & binning.pair_valid[pair_idx]
+
+        # Differentiable gathers: their VJP is the scatter-add that replaces
+        # CUDA's atomicAdd gradient accumulation.
+        g_mean2d = prep.mean2d[gidx]  # [T,K,2]
+        g_conic = prep.conic[gidx]  # [T,K,3]
+        g_opac = prep.opacity[gidx]  # [T,K]
+        g_feat = features[gidx]  # [T,K,C]
+        num_pairs = binning.num_pairs
+        max_tile_count = binning.max_tile_count
 
     grid_x, grid_y = grid_dims(width, height)
     if config.use_pallas:
@@ -184,8 +203,8 @@ def rasterize(
         final_t=ft,
         radii=prep.radius,
         mean2d_ndc=mean2d_ndc,
-        num_pairs=binning.num_pairs,
-        max_tile_count=binning.max_tile_count,
+        num_pairs=num_pairs,
+        max_tile_count=max_tile_count,
         max_tiles_per_gaussian_seen=jnp.max(prep.tiles_touched),
     )
 

@@ -118,10 +118,14 @@ def render_sets(args):
         tile_chunk=args.tile_chunk,
     )
 
+    from eogs2_tpu.flow import phase_correlation_shift, apply_flow_to_image
+    import jax.numpy as jnp
+
     for split, views in (("train", scene.train_views), ("test", scene.test_views)):
         base = os.path.join(args.model_path, f"{split}_opNone", f"ours_{it}")
         for kind in ("final", "raw_render", "cc", "altitude", "acc_opacity",
-                     "shadowmap", "gt"):
+                     "shadowmap", "gt", "flowmatched_altitude", "nadir_pov",
+                     "sun_pov"):
             os.makedirs(os.path.join(base, kind), exist_ok=True)
         for vi, view in enumerate(views):
             if view.is_virtual:
@@ -143,6 +147,33 @@ def render_sets(args):
                           out["shadowmap"])
             if view.image is not None:
                 _save_png(os.path.join(base, "gt", name + ".png"), view.image)
+
+            # nadir-POV resample of this view (render_pan.py nadir artifacts)
+            if split == "train":
+                nadir_cam, _ = view.camera.nadir_camera()
+                nout = render_view_full(model, nadir_cam, rcfg, with_sun=False)
+                _save_png(os.path.join(base, "nadir_pov", name + ".png"),
+                          nout["raw_render"])
+                if view.camera.has_sun:
+                    sun_cam, _ = view.camera.sun_camera(f=1)
+                    sout = render_view_full(model, sun_cam, rcfg, with_sun=False)
+                    _save_png(os.path.join(base, "sun_pov", name + ".png"),
+                              sout["raw_render"])
+
+            # flow-matched altitude for the TSDF stage (render_pan.py:285-306):
+            # shift the altitude map by the gt->render flow so TSDF fuses
+            # registered depth
+            if split == "train" and view.image is not None:
+                gt = view.image
+                final = out["final"][: gt.shape[0]]
+                dx, dy = phase_correlation_shift(jnp.asarray(gt), jnp.asarray(final))
+                warped_alt = apply_flow_to_image(
+                    jnp.asarray(out["altitude"])[None], dx, dy
+                )[0]
+                _save_float(
+                    os.path.join(base, "flowmatched_altitude", name + ".tif"),
+                    warped_alt,
+                )
 
     # Nadir DSM (render_pan.py:401-411)
     dsm_dir = os.path.join(args.model_path, "test_opNone", f"ours_{it}", "dsm")

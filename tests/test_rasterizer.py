@@ -130,3 +130,31 @@ def test_alive_mask_culls():
     args_half = [a[:32] if getattr(a, "ndim", 0) >= 1 and a.shape[0] == 64 else a for a in args]
     out_half = rasterize(*args_half, width=48, height=48, config=CFG)
     np.testing.assert_allclose(out_masked.image, out_half.image, atol=2e-5, rtol=1e-4)
+
+
+def test_sorted_binning_mode_matches_gather():
+    """The sort-carried pair pipeline (binning_mode='sorted') must match the
+    gather path forward and backward."""
+    args = make_scene(n=256, seed=11)
+    w = h = 64
+    cfg_g = RasterizeConfig(tile_capacity=256, tile_chunk=8,
+                            max_tiles_per_gaussian=16, binning_mode="gather")
+    cfg_s = RasterizeConfig(tile_capacity=256, tile_chunk=8,
+                            max_tiles_per_gaussian=16, binning_mode="sorted")
+    out_g = rasterize(*args, width=w, height=h, config=cfg_g)
+    out_s = rasterize(*args, width=w, height=h, config=cfg_s)
+    np.testing.assert_allclose(out_s.image, out_g.image, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(out_s.final_t, out_g.final_t, atol=2e-5)
+
+    def loss_with(cfg):
+        def f(means, scales, quats, opac, feat, affine, bg):
+            out = rasterize(means, scales, quats, opac, feat, affine, bg,
+                            w, h, cfg)
+            return jnp.sum(out.image ** 2) + jnp.sum(out.final_t)
+        return f
+
+    g1 = jax.grad(loss_with(cfg_g), argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g2 = jax.grad(loss_with(cfg_s), argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for n_, a, b in zip(["means", "scales", "quats", "opac", "feat", "affine"],
+                        g1, g2):
+        np.testing.assert_allclose(b, a, atol=5e-4, rtol=5e-3, err_msg=n_)
