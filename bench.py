@@ -48,6 +48,7 @@ def main():
     args = [jnp.asarray(x) for x in (means, scales, quats, opac, feat, affine, bg)]
     cfg = RasterizeConfig(
         tile_capacity=512, tile_chunk=64, max_tiles_per_gaussian=8,
+        binning_mode="sorted", use_pallas=True,
     )
 
     def loss(means, scales, quats, opac, feat, affine, bg):

@@ -78,6 +78,8 @@ def cmd_train(args):
         pair_capacity=1 << args.log2_pair_capacity,
         tile_capacity=args.tile_capacity,
         tile_chunk=args.tile_chunk,
+        binning_mode="sorted" if args.raster_mode == "fast" else "gather",
+        use_pallas=args.raster_mode == "fast",
     )
     tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg).setup()
     if args.start_checkpoint:
@@ -143,6 +145,12 @@ def cmd_train(args):
         dict(jax.tree.map(np.asarray, state.shading.__dict__)),
     )
     ckptr.wait_until_finished()
+    # test-camera shading (cc train->test conversion, 'average' by default)
+    ckptr.save(
+        os.path.abspath(os.path.join(ckpt_dir, "shading_test")),
+        dict(jax.tree.map(np.asarray, tr.test_shading_params().__dict__)),
+    )
+    ckptr.wait_until_finished()
     with open(os.path.join(args.model_path, "cfg_args.json"), "w") as f:
         json.dump({"preset": args.preset, "scene_dir": args.scene_dir,
                    "iterations": it}, f)
@@ -190,11 +198,37 @@ def cmd_tsdf(args):
 
 
 def cmd_full_eval(args):
+    """full_eval_pan.py parity: train -> render -> eval_dsm -> tsdf in one
+    process (full_eval_pan.py:23-31)."""
     rc = cmd_train(args)
     if rc:
         return rc
     args.iteration = -1
     rc = cmd_render(args)
+    if rc:
+        return rc
+    pc_root = os.path.join(args.model_path, "point_cloud")
+    it = max(int(d.split("_")[-1]) for d in os.listdir(pc_root))
+    pred = os.path.join(args.model_path, "test_opNone", f"ours_{it}", "dsm",
+                        "Nadir.tif")
+    gt_hf = os.path.join(args.scene_dir, "gt_heightfield.npy")
+    if os.path.exists(gt_hf) and os.path.exists(pred):
+        from eogs2_tpu.eval.mae import MaeComputer
+        from eogs2_tpu.scene import load_scene as _ls
+
+        sc = _ls(args.scene_dir, images_msi_path=None, eval_split=True,
+                 target_density=0.001)
+        mc = MaeComputer.from_synthetic(args.scene_dir, scale=sc.scene_scale)
+        mae, _, _ = mc.compute_mae_from_path(pred)
+        print(json.dumps({"stage": "eval_dsm", "mae": mae}))
+    args.vox_size = getattr(args, "vox_size", 0.5)
+    args.trunc_margin_fact = getattr(args, "trunc_margin_fact", 4.0)
+    rc = cmd_tsdf(args)
+    tsdf_pred = os.path.join(args.model_path, "test_opNone", f"ours_{it}",
+                             "tsdf", "dsm.tif")
+    if os.path.exists(gt_hf) and os.path.exists(tsdf_pred):
+        mae, _, _ = mc.compute_mae_from_path(tsdf_pred)
+        print(json.dumps({"stage": "eval_dsm_tsdf", "mae": mae}))
     return rc
 
 
@@ -236,6 +270,10 @@ def build_parser():
         sp.add_argument("--iteration", type=int, default=-1)
         sp.add_argument("--start-checkpoint", default="")
         sp.add_argument("--checkpoint-every", type=int, default=0)
+        sp.add_argument(
+            "--raster-mode", default="safe", choices=["safe", "fast"],
+            help="fast = sort-carried binning + Pallas blend kernels (TPU)",
+        )
 
     for name, fn in [
         ("train", cmd_train),

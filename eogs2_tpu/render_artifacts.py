@@ -79,14 +79,14 @@ def load_model(model_path: str, iteration: int = -1, sh_degree: int = 0,
     return GaussianModel(params=params, aux=aux, sh_degree=sh_degree), it
 
 
-def load_shading(model_path: str, iteration: int):
+def load_shading(model_path: str, iteration: int, which: str = "shading"):
     import orbax.checkpoint as ocp
     import jax.numpy as jnp
 
     from eogs2_tpu.shading import CameraShadingParams
 
     path = os.path.abspath(
-        os.path.join(model_path, "camera_params", f"iteration_{iteration}", "shading")
+        os.path.join(model_path, "camera_params", f"iteration_{iteration}", which)
     )
     if not os.path.exists(path):
         return None
@@ -104,6 +104,7 @@ def render_sets(args):
 
     model, it = load_model(args.model_path, args.iteration)
     shading = load_shading(args.model_path, it)
+    shading_test = load_shading(args.model_path, it, which="shading_test") or shading
     scene = load_scene(
         args.scene_dir,
         images_msi_path=args.images_msi or os.path.join(args.scene_dir, "images"),
@@ -131,7 +132,8 @@ def render_sets(args):
             if view.is_virtual:
                 continue
             out = render_view_full(
-                model, view.camera, rcfg, shading=shading,
+                model, view.camera, rcfg,
+                shading=shading if split == "train" else shading_test,
                 view_idx=vi if split == "train" else 0,
                 with_sun=view.camera.has_sun,
             )

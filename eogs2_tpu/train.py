@@ -507,6 +507,20 @@ class Trainer:
         # group views by modality (MS scenes pair msi+pan per view index)
         msi_views = [v for v in scene.train_views if v.image_type == "msi"]
         pan_views = [v for v in scene.train_views if v.image_type == "pan"]
+
+        # one-time pansharpening of the PAN ground truth
+        # (train_pan.py:338-345: gt <- pansharp(pan, msi) when apply_pansharp)
+        if cfg.optimization.apply_pansharp and cfg.model.load_pan and pan_views:
+            from eogs2_tpu.pansharpen import load_pansharp
+
+            method = load_pansharp(cfg.optimization.pansharp_method)
+            msi_by_name = {v.name: v for v in msi_views}
+            for pv in pan_views:
+                mv = msi_by_name.get(pv.name)
+                if mv is not None and pv.image is not None and mv.image is not None:
+                    pv.image = np.asarray(
+                        method(jnp.asarray(pv.image), jnp.asarray(mv.image))
+                    )
         self.modal_views = []
         if cfg.model.load_msi and msi_views:
             self.modal_views.append(("msi", msi_views))
@@ -776,6 +790,17 @@ class Trainer:
             if self.eval_hook and iteration % self.cfg.logging.testing_interval == 0:
                 self.eval_hook(self, self.state, iteration)
 
+            if iteration == iters and o.normalize_colors_before_saving:
+                from eogs2_tpu.color_ops import normalize_colors_before_saving
+
+                new_params, new_shading = normalize_colors_before_saving(
+                    self.state.params, self.state.shading, reference_idx=0
+                )
+                self.state = self.state.replace(
+                    params=new_params, shading=new_shading
+                )
+                print("baked reference color correction into Gaussian colors")
+
             if iteration in self.cfg.checkpoint_iterations:
                 from eogs2_tpu.checkpoint import save_checkpoint
 
@@ -786,6 +811,33 @@ class Trainer:
                 print(f"checkpoint saved: {path}")
 
         return self.state
+
+    def test_shading_params(self):
+        """Shading parameters for test cameras: train cams' cc converted by
+        the configured mode (convert_color_correction.py; 'average' default).
+        Returns a CameraShadingParams whose single entry applies to any test
+        view."""
+        import jax.numpy as jnp
+
+        mode = self.cfg.model.train_to_test_cc_converter
+        sh = self.state.shading
+        if mode == "ref":
+            idx = 0
+            w = sh.cc_weight[idx:idx + 1]
+            b = sh.cc_bias[idx:idx + 1]
+        else:  # average
+            w = jnp.mean(sh.cc_weight, axis=0, keepdims=True)
+            b = jnp.mean(sh.cc_bias, axis=0, keepdims=True)
+        take1 = lambda x: x[:1]
+        return sh.replace(
+            cc_weight=w, cc_bias=b,
+            inshadow=take1(sh.inshadow),
+            last_row=jnp.zeros_like(take1(sh.last_row)),
+            exposure=take1(sh.exposure),
+            msi_to_pan_weight=take1(sh.msi_to_pan_weight),
+            msi_to_pan_bias=take1(sh.msi_to_pan_bias),
+            transient_mask=take1(sh.transient_mask),
+        )
 
     def restore(self, path: str) -> int:
         """Resume from a checkpoint (gaussians.restore parity incl. Adam

@@ -95,3 +95,35 @@ def test_dual_modality_training(tmp_path):
     m = tr.metrics_history[-1]
     assert np.isfinite(m["loss"])
     assert "msi_photometric" in m and "pan_photometric" in m
+
+
+def test_cc_train_to_test_and_normalize(scene_dir):
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=10)
+    cfg.optimization.normalize_colors_before_saving = True
+    cfg.logging.tb_log_interval = 5
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=RCFG).setup()
+    tr.train(progress=False)
+    test_sh = tr.test_shading_params()
+    assert test_sh.cc_weight.shape[0] == 1
+    # averaged cc equals the mean of the train cams'
+    np.testing.assert_allclose(
+        np.asarray(test_sh.cc_weight[0]),
+        np.asarray(tr.state.shading.cc_weight).mean(0), atol=1e-6,
+    )
+
+
+def test_video_rendering(scene_dir, tmp_path):
+    from eogs2_tpu.model import GaussianModel
+    from eogs2_tpu.video import render_video
+
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=5)
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=RCFG).setup()
+    tr.train(progress=False)
+    model = GaussianModel(params=tr.state.params, aux=tr.state.aux)
+    out = render_video(model, scene.train_views[0].camera, RCFG,
+                       str(tmp_path / "orbit.mp4"), n_frames=4, fps=2)
+    assert os.path.exists(out)
