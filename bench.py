@@ -27,6 +27,11 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        print(f"backend unavailable ({e})", file=sys.stderr)
+        raise
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from eogs2_tpu import rasterize, RasterizeConfig
 

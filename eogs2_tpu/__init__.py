@@ -18,5 +18,15 @@ TSDF fusion) — but architected TPU-first:
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmuls default to bf16 multiplication, which silently corrupts the
+# geometry-critical contractions (affine projection, EWA covariance, the
+# log-space transmittance prefix matmuls) enough to destabilize training —
+# measured: identical runs converge on CPU and diverge on TPU without this.
+# Float32-accurate matmuls cost a fraction of this workload's runtime (the
+# hot paths are sort/permute-bound); precision is relaxed per-op where safe.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from eogs2_tpu.rasterizer import rasterize, RasterizeConfig  # noqa: F401
 from eogs2_tpu.cameras import AffineCamera  # noqa: F401

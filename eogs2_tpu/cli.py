@@ -25,6 +25,8 @@ import numpy as np
 
 
 def _setup_jax(cache=True):
+    import time
+
     import jax
 
     if cache:
@@ -33,6 +35,19 @@ def _setup_jax(cache=True):
             os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # fail fast with a clear message when the TPU tunnel is mid-recycle (the
+    # claim can only happen at interpreter start; retry at the process level,
+    # e.g. via tpurun.sh)
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        print(
+            f"jax backend unavailable: {e}\n"
+            "If this is the transient TPU-tunnel recycle window, re-run the "
+            "command (see tpurun.sh).",
+            file=sys.stderr,
+        )
+        raise SystemExit(75)  # EX_TEMPFAIL
     return jax
 
 

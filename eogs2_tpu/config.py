@@ -76,6 +76,7 @@ class OptimizationConfig:
 
     random_background: bool = True
     copy_background_firschan: bool = False
+    optimizer_type: str = "default"  # "default" | "sparse_adam"
 
     # iteration gates (train.yaml values)
     iterstart_shadowmapping: int = 1000

@@ -103,7 +103,7 @@ def _fwd_kernel(data_ref, out_ref, *, k_chunk, n_chunks, grid_x):
         sl = slice(c * k_chunk, (c + 1) * k_chunk)
         alpha, _, _, _, _ = _alpha_chunk(data, sl, ox, oy)
         logs = jnp.log1p(-alpha)
-        s_incl = carry_raw + jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+        s_incl = carry_raw + jnp.dot(logs, tri, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         cp = jnp.exp(s_incl)
         live = cp >= T_EPS
         t_before = cp / (1.0 - alpha)
@@ -112,6 +112,7 @@ def _fwd_kernel(data_ref, out_ref, *, k_chunk, n_chunks, grid_x):
         acc = acc + jax.lax.dot_general(
             w, featc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
         )
         carry_raw = s_incl[:, -1:]
         carry_live = carry_live + jnp.sum(
@@ -161,12 +162,12 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, *, k_chunk, n_chunks, grid_x):
         sl = slice(c * k_chunk, (c + 1) * k_chunk)
         alpha, _, _, _, _ = _alpha_chunk(data, sl, ox, oy)
         logs = jnp.log1p(-alpha)
-        s_incl = carry_raw + jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+        s_incl = carry_raw + jnp.dot(logs, tri, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         cp = jnp.exp(s_incl)
         live = cp >= T_EPS
         w = jnp.where(live, alpha * cp / (1.0 - alpha), 0.0)
         featc = data[6:11, sl]
-        fdot = jnp.dot(g_pix, featc, preferred_element_type=jnp.float32)
+        fdot = jnp.dot(g_pix, featc, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         total = total + jnp.sum(w * fdot, axis=-1, keepdims=True)
         carry_raw = s_incl[:, -1:]
         carry_live = carry_live + jnp.sum(
@@ -182,17 +183,15 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, *, k_chunk, n_chunks, grid_x):
         alpha, g, dx, dy, keep = _alpha_chunk(data, sl, ox, oy)
         one_minus = 1.0 - alpha
         logs = jnp.log1p(-alpha)
-        s_incl = carry_raw + jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+        s_incl = carry_raw + jnp.dot(logs, tri, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         cp = jnp.exp(s_incl)
         live = cp >= T_EPS
         t_before = cp / one_minus
         w = jnp.where(live, alpha * t_before, 0.0)
         featc = data[6:11, sl]
-        fdot = jnp.dot(g_pix, featc, preferred_element_type=jnp.float32)
+        fdot = jnp.dot(g_pix, featc, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         contrib = w * fdot
-        prefix_inc = prefix + jnp.dot(
-            contrib, tri, preferred_element_type=jnp.float32
-        )
+        prefix_inc = prefix + jnp.dot(contrib, tri, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         suffix = total - prefix_inc
         g_alpha = fdot * t_before - (suffix + final_t * g_ft) / one_minus
         g_alpha = jnp.where(live & keep, g_alpha, 0.0)
@@ -211,6 +210,7 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, *, k_chunk, n_chunks, grid_x):
         g_feat = jax.lax.dot_general(
             w, g_pix, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
         )  # [Kc,5]
         zeros = jnp.zeros((NF - 12, k_chunk), jnp.float32)
         gchunk = jnp.concatenate(

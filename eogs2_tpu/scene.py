@@ -127,7 +127,10 @@ def load_scene(
     if isinstance(metadatas, dict):  # MS format
         groups = {k: v for k, v in metadatas.items() if k in ("pan", "msi")}
     else:
-        groups = {"msi": metadatas}
+        # single-modality list: treat as the requested modality (3PAN-style
+        # runs load the same metadata as pan cameras)
+        kind = "msi" if load_msi else "pan"
+        groups = {kind: metadatas}
 
     views: List[ViewData] = []
     n_views = len(next(iter(groups.values())))

@@ -422,6 +422,15 @@ def make_train_step(
 
         g_updates, g_opt = gauss_tx.update(g_g, state.g_opt, state.params)
         g_updates = jax.tree.map(lambda u, lr: -lr * u, g_updates, lr_tree)
+        if o.optimizer_type == "sparse_adam":
+            # SparseGaussianAdam analog: only Gaussians visible this step
+            # receive parameter updates (the reference's optional sparse
+            # optimizer, gaussian_model.py:263-268); moments still advance.
+            vis = (radii > 0).astype(jnp.float32)
+            g_updates = jax.tree.map(
+                lambda u: u * vis.reshape((-1,) + (1,) * (u.ndim - 1)),
+                g_updates,
+            )
         new_gparams = jax.tree.map(jnp.add, state.params, g_updates)
 
         c_updates, c_opt = cam_tx.update(g_s, state.c_opt, state.shading)
