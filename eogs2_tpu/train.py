@@ -25,6 +25,7 @@ opacity reset), re-architected TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional
