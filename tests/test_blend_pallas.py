@@ -75,3 +75,25 @@ def test_pallas_backward_matches_reference():
     np.testing.assert_allclose(gop, g_ref[2], atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(gft, g_ref[3], atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(g_bg, g_ref[4], atol=2e-4, rtol=1e-3)
+
+
+def test_pallas_backward_chunked():
+    """Backward with multiple K-chunks (carry propagation across chunks)."""
+    m2, co, op, ft, mk, org, bg = make_tiles(k=256, seed=5)
+    data = pack_tile_data(m2, co, op, ft, mk)
+
+    def loss_ref(m2, co, op, ft):
+        out, final_t = blend_tiles(m2, co, op, ft, mk, org, bg, tile_chunk=4)
+        return jnp.sum(out ** 2) + jnp.sum(final_t)
+
+    def loss_pal(data):
+        img, final_t = blend_tiles_pallas(data, bg, 2, 128, True)  # 2 chunks
+        return jnp.sum(img ** 2) + jnp.sum(final_t)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(m2, co, op, ft)
+    g_dat = jax.grad(loss_pal)(data)
+    gm2, gco, gop, gft = unpack_grads(g_dat)
+    np.testing.assert_allclose(gm2, g_ref[0], atol=5e-4, rtol=2e-3)
+    np.testing.assert_allclose(gco, g_ref[1], atol=5e-4, rtol=2e-3)
+    np.testing.assert_allclose(gop, g_ref[2], atol=5e-4, rtol=2e-3)
+    np.testing.assert_allclose(gft, g_ref[3], atol=5e-4, rtol=2e-3)
