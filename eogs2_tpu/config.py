@@ -77,6 +77,7 @@ class OptimizationConfig:
     random_background: bool = True
     copy_background_firschan: bool = False
     optimizer_type: str = "default"  # "default" | "sparse_adam"
+    views_per_step: int = 1  # TPU extension: cameras batched per optimizer step
 
     # iteration gates (train.yaml values)
     iterstart_shadowmapping: int = 1000

@@ -385,8 +385,22 @@ def make_train_step(
         metrics = {}
         radii = None
         keys = jax.random.split(key, len(mod_losses))
+        batched = getattr(view_idx, "ndim", 0) > 0
         for (name, closs), k in zip(mod_losses, list(keys)):
-            t, (m, r) = closs(gparams, sparams, m2d_off, aux, view_idx, k, gates)
+            if batched:
+                # views_per_step > 1: vmap the whole camera loss over the
+                # view batch (a TPU-first extension — the reference renders
+                # one camera per iteration; batching amortizes the fixed
+                # per-step overheads, gradients sum over the batch)
+                bkeys = jax.random.split(k, view_idx.shape[0])
+                ts, (ms, rs) = jax.vmap(
+                    closs, in_axes=(None, None, None, None, 0, 0, None)
+                )(gparams, sparams, m2d_off, aux, view_idx, bkeys, gates)
+                t = jnp.sum(ts)
+                m = jax.tree.map(jnp.mean, ms)
+                r = jnp.max(rs, axis=0)
+            else:
+                t, (m, r) = closs(gparams, sparams, m2d_off, aux, view_idx, k, gates)
             total = total + t
             prefix = "" if len(mod_losses) == 1 else f"{name}_"
             for mk, mv in m.items():
@@ -740,15 +754,19 @@ class Trainer:
         t0 = time.time()
         num_views = len(self.scene.train_views)
         for iteration in range(1, iters + 1):
-            if not view_stack:
-                view_stack = list(self.rng.permutation(num_views))
-            view_idx = int(view_stack.pop())
+            vps = min(getattr(o, "views_per_step", 1), num_views)
+            picked = []
+            while len(picked) < vps:
+                if not view_stack:
+                    view_stack = list(self.rng.permutation(num_views))
+                picked.append(int(view_stack.pop()))
+            view_idx = picked[0] if vps == 1 else np.asarray(picked, np.int32)
             phase = phase_for_iteration(self.cfg, iteration)
             step = self._get_step(phase)
             gates = make_gates(self.cfg, iteration, self.init_count)
             self.key, k = jax.random.split(self.key)
             self.state, metrics = step(
-                self.state, jnp.int32(view_idx), k, gates
+                self.state, jnp.asarray(view_idx, jnp.int32), k, gates
             )
             interval_metrics.append(metrics)
 

@@ -127,3 +127,15 @@ def test_video_rendering(scene_dir, tmp_path):
     out = render_video(model, scene.train_views[0].camera, RCFG,
                        str(tmp_path / "orbit.mp4"), n_frames=4, fps=2)
     assert os.path.exists(out)
+
+
+def test_views_per_step_batching(scene_dir):
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=12)
+    cfg.optimization.views_per_step = 2
+    cfg.logging.tb_log_interval = 6
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=RCFG).setup()
+    tr.train(progress=False)
+    m = tr.metrics_history[-1]
+    assert np.isfinite(m["loss"]) and m["photometric"] < 1.0
