@@ -115,6 +115,8 @@ def load_scene(
     load_msi: bool = True,
     load_pan: bool = True,
     seed: int = 0,
+    scale_factor_z: float = 1.0,
+    rescaler_name: str = "clamper",
 ) -> SceneData:
     """Load a scene directory containing affine_models.json (+ train/test.txt).
 
@@ -180,9 +182,22 @@ def load_scene(
 
     train_views[0].is_reference = True
 
+    # GT normalization at load (utils/rescaler/rescaler.py:149-172)
+    if rescaler_name and rescaler_name != "identity":
+        from eogs2_tpu.rescalers import load_rescaler
+
+        ref_img = train_views[0].image
+        rescale = load_rescaler(rescaler_name, reference_image=ref_img)
+        for v in train_views + test_views:
+            if v.image is not None:
+                v.image = np.asarray(rescale(v.image), np.float32)
+
     model = model_md["model"]
+    max_world = list(model["max_world"])
+    # z-stretch of the init volume (dataset_MS_affine.py:107)
+    max_world[2] = max_world[2] * scale_factor_z
     xyz, rgb = uniform_point_init(
-        model["min_world"], model["max_world"], model["scale"], target_density, seed
+        model["min_world"], max_world, model["scale"], target_density, seed
     )
     radius = np.linalg.norm(xyz - xyz.mean(0), axis=1).max() * 2.0
 
