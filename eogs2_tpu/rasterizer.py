@@ -165,7 +165,11 @@ def rasterize(
         from eogs2_tpu.ops.blend_pallas import blend_tiles_pallas, pack_tile_data
 
         data = pack_tile_data(g_mean2d, g_conic, g_opac, g_feat, mask)
-        k_chunk = min(config.tile_capacity, 512)
+        # largest K-divisor chunk <= 512 (VMEM budget for the [P,Kc] blocks)
+        k_chunk = next(
+            d for d in (512, 384, 256, 128, 64, config.tile_capacity)
+            if config.tile_capacity % d == 0
+        )
         out, final_t = blend_tiles_pallas(data, bg, grid_x, k_chunk, False)
     else:
         tx = jnp.arange(grid_x * grid_y, dtype=jnp.float32) % grid_x
