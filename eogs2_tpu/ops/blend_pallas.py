@@ -5,17 +5,20 @@ CPU path), but fused into single kernels so the [tiles, P, K] intermediates
 (alpha, transmittance, suffix sums) never touch HBM:
 
   * prefix/suffix scans run as triangular matmuls on the MXU, chunked along
-    K with running carries held in registers/VMEM;
+    K with running carries; chunks iterate via lax.fori_loop so Mosaic
+    reuses one chunk's worth of VMEM (a python-unrolled loop kept every
+    chunk's intermediates live and OOM'd VMEM at K=1536);
   * the per-pair data arrives packed as one [T, 16, K] array (lane dim = K,
-    128-aligned) so each grid step streams exactly one tile's worth;
-  * tile origins are derived from program_id (grid_x is static) — no side
-    inputs;
+    128-aligned) and is sliced per chunk directly from the ref;
+  * tile origins derive from program_id (grid_x static) — no side inputs;
   * outputs are [T, P, 8] (5 channels + final_t in channel 5) and, in the
     backward, [T, 16, K] packed gradients that flow into the caller's
-    gather-VJP scatter-add exactly like the jnp path.
+    gather/sort VJP exactly like the jnp path.
 
 Forward residuals are the packed inputs only — the backward re-rasterizes,
 mirroring CUDA's save-final_T-and-rewalk strategy (backward.cu:457-643).
+All dots run at Precision.HIGHEST: bf16 matmul quantization in the
+log-transmittance prefix sums measurably corrupts training (DESIGN.md #6).
 """
 
 from __future__ import annotations
@@ -33,6 +36,8 @@ from eogs2_tpu.ops.projection import TILE
 P = TILE * TILE  # 256 pixels per tile
 NF = 16  # packed rows (12 used, padded for sublane alignment)
 # rows: 0 mx, 1 my, 2 ca, 3 cb, 4 cc, 5 opacity, 6..10 feat, 11 mask
+
+HI = jax.lax.Precision.HIGHEST
 
 
 def pack_tile_data(mean2d, conic, opacity, feat, mask):
@@ -55,15 +60,16 @@ def unpack_grads(gdata):
     return g[..., 0:2], g[..., 2:5], g[..., 5], g[..., 6:11]
 
 
-def _alpha_chunk(data, sl, ox, oy):
-    """[P, Kc] effective alpha for one K-chunk of a tile's packed data."""
-    mx = data[0, sl]
-    my = data[1, sl]
-    ca = data[2, sl]
-    cb = data[3, sl]
-    cc = data[4, sl]
-    op = data[5, sl]
-    msk = data[11, sl]
+def _alpha_chunk(data_ref, c, k_chunk, ox, oy):
+    """[P, Kc] effective alpha for chunk c of a tile's packed data ref."""
+    sl = pl.ds(c * k_chunk, k_chunk)
+    mx = data_ref[0, 0, sl]
+    my = data_ref[0, 1, sl]
+    ca = data_ref[0, 2, sl]
+    cb = data_ref[0, 3, sl]
+    cc = data_ref[0, 4, sl]
+    op = data_ref[0, 5, sl]
+    msk = data_ref[0, 11, sl]
     pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     px = (pid % TILE).astype(jnp.float32) + ox
     py = (pid // TILE).astype(jnp.float32) + oy
@@ -75,6 +81,10 @@ def _alpha_chunk(data, sl, ox, oy):
     keep = (msk[None, :] > 0.5) & (power <= 0.0) & (alpha_raw >= ALPHA_EPS)
     alpha = jnp.where(keep, alpha_raw, 0.0)
     return alpha, g, dx, dy, keep
+
+
+def _feat_chunk(data_ref, c, k_chunk):
+    return data_ref[0, 6:11, pl.ds(c * k_chunk, k_chunk)]  # [5,Kc]
 
 
 def _tri(kc):
@@ -92,33 +102,34 @@ def _origin(grid_x):
 
 def _fwd_kernel(data_ref, out_ref, *, k_chunk, n_chunks, grid_x):
     ox, oy = _origin(grid_x)
-    data = data_ref[0]
     tri = _tri(k_chunk)
 
-    acc = jnp.zeros((P, 5), jnp.float32)
-    carry_raw = jnp.zeros((P, 1), jnp.float32)
-    carry_live = jnp.zeros((P, 1), jnp.float32)
-
-    for c in range(n_chunks):  # static unroll
-        sl = slice(c * k_chunk, (c + 1) * k_chunk)
-        alpha, _, _, _, _ = _alpha_chunk(data, sl, ox, oy)
+    def body(c, carry):
+        acc, carry_raw, carry_live = carry
+        alpha, _, _, _, _ = _alpha_chunk(data_ref, c, k_chunk, ox, oy)
         logs = jnp.log1p(-alpha)
-        s_incl = carry_raw + jnp.dot(logs, tri, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        s_incl = carry_raw + jnp.dot(
+            logs, tri, preferred_element_type=jnp.float32, precision=HI
+        )
         cp = jnp.exp(s_incl)
         live = cp >= T_EPS
         t_before = cp / (1.0 - alpha)
         w = jnp.where(live, alpha * t_before, 0.0)
-        featc = data[6:11, sl]  # [5,Kc]
+        featc = _feat_chunk(data_ref, c, k_chunk)
         acc = acc + jax.lax.dot_general(
             w, featc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=HI,
         )
-        carry_raw = s_incl[:, -1:]
         carry_live = carry_live + jnp.sum(
             jnp.where(live, logs, 0.0), axis=-1, keepdims=True
         )
+        return acc, s_incl[:, -1:], carry_live
 
+    acc, _, carry_live = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.zeros((P, 5), jnp.float32), jnp.zeros((P, 1), jnp.float32),
+         jnp.zeros((P, 1), jnp.float32)),
+    )
     out_ref[0] = jnp.concatenate(
         [acc, jnp.exp(carry_live), jnp.zeros((P, 2), jnp.float32)], axis=1
     )
@@ -148,58 +159,66 @@ def blend_forward_pallas(data, grid_x: int, k_chunk: int = 512,
 
 def _bwd_kernel(data_ref, gout_ref, gdata_ref, *, k_chunk, n_chunks, grid_x):
     ox, oy = _origin(grid_x)
-    data = data_ref[0]
-    gout = gout_ref[0]  # [P,8]
     tri = _tri(k_chunk)
-    g_pix = gout[:, :5]
-    g_ft = gout[:, 5:6]  # includes the (g_pix . bg) background fold
+    g_pix = gout_ref[0, :, :5]
+    g_ft = gout_ref[0, :, 5:6]  # includes the (g_pix . bg) background fold
 
     # pass 1: total foreground contribution and final_t
-    carry_raw = jnp.zeros((P, 1), jnp.float32)
-    carry_live = jnp.zeros((P, 1), jnp.float32)
-    total = jnp.zeros((P, 1), jnp.float32)
-    for c in range(n_chunks):
-        sl = slice(c * k_chunk, (c + 1) * k_chunk)
-        alpha, _, _, _, _ = _alpha_chunk(data, sl, ox, oy)
+    def body1(c, carry):
+        carry_raw, carry_live, total = carry
+        alpha, _, _, _, _ = _alpha_chunk(data_ref, c, k_chunk, ox, oy)
         logs = jnp.log1p(-alpha)
-        s_incl = carry_raw + jnp.dot(logs, tri, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        s_incl = carry_raw + jnp.dot(
+            logs, tri, preferred_element_type=jnp.float32, precision=HI
+        )
         cp = jnp.exp(s_incl)
         live = cp >= T_EPS
         w = jnp.where(live, alpha * cp / (1.0 - alpha), 0.0)
-        featc = data[6:11, sl]
-        fdot = jnp.dot(g_pix, featc, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        featc = _feat_chunk(data_ref, c, k_chunk)
+        fdot = jnp.dot(g_pix, featc, preferred_element_type=jnp.float32,
+                       precision=HI)
         total = total + jnp.sum(w * fdot, axis=-1, keepdims=True)
-        carry_raw = s_incl[:, -1:]
         carry_live = carry_live + jnp.sum(
             jnp.where(live, logs, 0.0), axis=-1, keepdims=True
         )
+        return s_incl[:, -1:], carry_live, total
+
+    _, carry_live, total = jax.lax.fori_loop(
+        0, n_chunks, body1,
+        (jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32),
+         jnp.zeros((P, 1), jnp.float32)),
+    )
     final_t = jnp.exp(carry_live)
 
     # pass 2: gradients
-    carry_raw = jnp.zeros((P, 1), jnp.float32)
-    prefix = jnp.zeros((P, 1), jnp.float32)
-    for c in range(n_chunks):
-        sl = slice(c * k_chunk, (c + 1) * k_chunk)
-        alpha, g, dx, dy, keep = _alpha_chunk(data, sl, ox, oy)
+    def body2(c, carry):
+        carry_raw, prefix = carry
+        alpha, g, dx, dy, keep = _alpha_chunk(data_ref, c, k_chunk, ox, oy)
         one_minus = 1.0 - alpha
         logs = jnp.log1p(-alpha)
-        s_incl = carry_raw + jnp.dot(logs, tri, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        s_incl = carry_raw + jnp.dot(
+            logs, tri, preferred_element_type=jnp.float32, precision=HI
+        )
         cp = jnp.exp(s_incl)
         live = cp >= T_EPS
         t_before = cp / one_minus
         w = jnp.where(live, alpha * t_before, 0.0)
-        featc = data[6:11, sl]
-        fdot = jnp.dot(g_pix, featc, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        featc = _feat_chunk(data_ref, c, k_chunk)
+        fdot = jnp.dot(g_pix, featc, preferred_element_type=jnp.float32,
+                       precision=HI)
         contrib = w * fdot
-        prefix_inc = prefix + jnp.dot(contrib, tri, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        prefix_inc = prefix + jnp.dot(
+            contrib, tri, preferred_element_type=jnp.float32, precision=HI
+        )
         suffix = total - prefix_inc
         g_alpha = fdot * t_before - (suffix + final_t * g_ft) / one_minus
         g_alpha = jnp.where(live & keep, g_alpha, 0.0)
 
-        op = data[5, sl]
-        ca = data[2, sl]
-        cb = data[3, sl]
-        cc = data[4, sl]
+        sl = pl.ds(c * k_chunk, k_chunk)
+        ca = data_ref[0, 2, sl]
+        cb = data_ref[0, 3, sl]
+        cc = data_ref[0, 4, sl]
+        op = data_ref[0, 5, sl]
         g_opac = jnp.sum(g_alpha * g, axis=0)
         gG = g_alpha * op[None, :] * g
         g_mx = jnp.sum(gG * (-(ca[None, :] * dx) - cb[None, :] * dy), axis=0)
@@ -209,26 +228,26 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, *, k_chunk, n_chunks, grid_x):
         g_cc = jnp.sum(gG * (-0.5 * dy * dy), axis=0)
         g_feat = jax.lax.dot_general(
             w, g_pix, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=HI,
         )  # [Kc,5]
-        zeros = jnp.zeros((NF - 12, k_chunk), jnp.float32)
         gchunk = jnp.concatenate(
             [
                 jnp.stack([g_mx, g_my, g_ca, g_cb, g_cc, g_opac], axis=0),
                 g_feat.T,
-                jnp.zeros((1, k_chunk), jnp.float32),  # mask row
-                zeros,
+                jnp.zeros((NF - 11, k_chunk), jnp.float32),
             ],
             axis=0,
         )  # [NF,Kc]
         gdata_ref[0, :, sl] = gchunk
+        return s_incl[:, -1:], prefix_inc[:, -1:]
 
-        prefix = prefix_inc[:, -1:]
-        carry_raw = s_incl[:, -1:]
+    jax.lax.fori_loop(
+        0, n_chunks, body2,
+        (jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)),
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("k_chunk", "grid_x", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k_chunk", "interpret", "grid_x"))
 def blend_backward_pallas(data, gout, grid_x: int, k_chunk: int = 512,
                           interpret: bool = False):
     t, nf, k = data.shape
