@@ -369,6 +369,7 @@ def make_train_step(
                 ),
                 "num_pairs": out.num_pairs,
                 "max_tile": out.max_tile_count,
+                "max_tiles_per_gaussian": out.max_tiles_per_gaussian_seen,
                 **{k: v for k, v in terms.items()},
             }
             return total, (metrics, out.radii)
@@ -468,6 +469,13 @@ def make_train_step(
         return new_state, metrics
 
     return step
+
+
+def _next_bucket(x: int, lo: int = 128) -> int:
+    c = max(lo, 1)
+    while c <= x:
+        c <<= 1
+    return c
 
 
 def make_gates(cfg: TrainConfig, iteration: int, init_count: int) -> Dict[str, jnp.ndarray]:
@@ -769,6 +777,37 @@ class Trainer:
                 self.state, jnp.asarray(view_idx, jnp.int32), k, gates
             )
             interval_metrics.append(metrics)
+
+            # capacity auto-rebucketing (the host-side analog of the CUDA
+            # rasterizer's dynamic buffer resizing): when the densest tile or
+            # widest tile rect approaches its static capacity, grow to the
+            # next bucket and rebuild the compiled steps. Checked cheaply
+            # every 50 iterations (each check syncs two scalars).
+            if iteration % 50 == 0:
+                mt = float(metrics["max_tile"])
+                mtg = float(metrics.get("max_tiles_per_gaussian", 0.0))
+                rc = self.raster_cfg
+                grew = None
+                if mt >= 0.95 * rc.tile_capacity:
+                    grew = dataclasses.replace(
+                        rc, tile_capacity=_next_bucket(rc.tile_capacity)
+                    )
+                if mtg > rc.max_tiles_per_gaussian:
+                    grew = dataclasses.replace(
+                        grew or rc,
+                        max_tiles_per_gaussian=_next_bucket(
+                            rc.max_tiles_per_gaussian, lo=4
+                        ),
+                    )
+                if grew is not None:
+                    print(
+                        f"[{iteration}] rebucketing rasterizer capacities: "
+                        f"K {rc.tile_capacity}->{grew.tile_capacity}, "
+                        f"tiles/gauss {rc.max_tiles_per_gaussian}->"
+                        f"{grew.max_tiles_per_gaussian}"
+                    )
+                    self.raster_cfg = grew
+                    self._steps = {}
 
             self._maintenance(iteration)
 

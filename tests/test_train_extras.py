@@ -139,3 +139,21 @@ def test_views_per_step_batching(scene_dir):
     tr.train(progress=False)
     m = tr.metrics_history[-1]
     assert np.isfinite(m["loss"]) and m["photometric"] < 1.0
+
+
+def test_capacity_auto_rebucket(scene_dir):
+    """Undersized tile capacity grows automatically during training."""
+    from eogs2_tpu.rasterizer import RasterizeConfig
+
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=60)
+    cfg.logging.tb_log_interval = 10
+    small = RasterizeConfig(tile_capacity=128, tile_chunk=8,
+                            max_tiles_per_gaussian=4)
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=small).setup()
+    tr.train(progress=False)
+    assert np.isfinite(tr.metrics_history[-1]["loss"])
+    # the dense 32x32 scene overflows K=128 and/or 4 tiles/gaussian
+    assert (tr.raster_cfg.tile_capacity > 128
+            or tr.raster_cfg.max_tiles_per_gaussian > 4)
