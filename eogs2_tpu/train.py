@@ -879,6 +879,46 @@ class Trainer:
 
         return self.state
 
+    def calibrate_opacity_init(self, target_acc: float = 0.999,
+                               iters: int = 12) -> float:
+        """Auto-calibrate opacity_init_value so the mean accumulated opacity
+        of the first render is ~`target_acc` — automating the reference's
+        empirical per-scene table (gaussian_model.py:190-197: e.g. JAX_068
+        0.12@100k pts, 0.06@1M, 0.05@2M). Bisects on a single view render;
+        returns the calibrated value (also applied to the model state)."""
+        from eogs2_tpu.model import GaussianModel, init_from_points, inverse_sigmoid
+        from eogs2_tpu.pipeline import render_view_full
+
+        model = GaussianModel(params=self.state.params, aux=self.state.aux)
+        cam = self.scene.train_views[0].camera
+
+        def mean_acc(op_value):
+            raw = float(np.log(op_value / (1.0 - op_value)))
+            p = model.params.replace(
+                opacity=jnp.full_like(model.params.opacity, raw)
+            )
+            m = model.replace(params=p)
+            out = render_view_full(m, cam, self.raster_cfg, with_sun=False)
+            return float(np.mean(out["acc_opacity"]))
+
+        lo, hi = 1e-4, 0.9
+        for _ in range(iters):
+            mid = float(np.sqrt(lo * hi))  # log-space bisection
+            if mean_acc(mid) < target_acc:
+                lo = mid
+            else:
+                hi = mid
+        value = float(np.sqrt(lo * hi))
+        raw = float(np.log(value / (1.0 - value)))
+        alive = self.state.aux.alive[:, None]
+        new_op = jnp.where(alive, raw, self.state.params.opacity)
+        self.state = self.state.replace(
+            params=self.state.params.replace(opacity=new_op)
+        )
+        print(f"calibrated opacity_init_value = {value:.4f} "
+              f"(mean acc opacity target {target_acc})")
+        return value
+
     def test_shading_params(self):
         """Shading parameters for test cameras: train cams' cc converted by
         the configured mode (convert_color_correction.py; 'average' default).

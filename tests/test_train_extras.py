@@ -157,3 +157,19 @@ def test_capacity_auto_rebucket(scene_dir):
     # the dense 32x32 scene overflows K=128 and/or 4 tiles/gaussian
     assert (tr.raster_cfg.tile_capacity > 128
             or tr.raster_cfg.max_tiles_per_gaussian > 4)
+
+
+def test_opacity_auto_calibration(scene_dir):
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=5)
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=RCFG).setup()
+    v = tr.calibrate_opacity_init(target_acc=0.99, iters=8)
+    assert 1e-4 < v < 0.9
+    # the calibrated state renders with mean acc-opacity near the target
+    from eogs2_tpu.model import GaussianModel
+    from eogs2_tpu.pipeline import render_view_full
+
+    m = GaussianModel(params=tr.state.params, aux=tr.state.aux)
+    out = render_view_full(m, scene.train_views[0].camera, RCFG, with_sun=False)
+    assert abs(float(np.mean(out["acc_opacity"])) - 0.99) < 0.05
