@@ -143,6 +143,16 @@ class TSDFVolume:
     def apply_prior(self):
         self.tsdf, self.weight = _apply_prior(self.tsdf, self.weight)
 
+    def extract_mesh(self, world_coords: bool = True):
+        """(vertices, faces) of the level-0 TSDF isosurface
+        (tsdf.py:520-528; marching tetrahedra instead of mcubes)."""
+        from eogs2_tpu.eval.mesh import marching_tetrahedra
+
+        return marching_tetrahedra(
+            np.asarray(self.tsdf), 0.0,
+            axes=self.axes if world_coords else None,
+        )
+
     def extract_dsm_points(self):
         """[Nx*Ny, 3] cloud of (x, y, z_surface) in volume coordinates."""
         idx = jnp.arange(self.shape[-1])
@@ -225,6 +235,7 @@ def run_tsdf(
     vox_size: float = 0.5,
     trunc_margin_fact: float = 4.0,
     resolution: float = 0.5,
+    export_mesh_path: str | None = None,
 ):
     """Full TSDF pipeline on in-memory altitude maps {view_name: (coef,
     inter, altitude[H,W])}. Returns (profile, dsm)."""
@@ -246,6 +257,11 @@ def run_tsdf(
     )
     vol.integrate_views(views, model_scale)
     vol.apply_prior()
+    if export_mesh_path:
+        from eogs2_tpu.eval.mesh import export_obj
+
+        verts, faces = vol.extract_mesh()
+        export_obj(export_mesh_path, verts, faces)
     cloud = vol.extract_dsm_points()
     cloud = cloud + np.asarray(scene_shift)
 
@@ -300,14 +316,19 @@ def run_tsdf_cli(args):
             np.asarray(alt, np.float32),
         )
     assert maps, f"no altitude maps found in {alt_dir}"
+    out_dir = os.path.join(args.model_path, "test_opNone", f"ours_{it}", "tsdf")
+    os.makedirs(out_dir, exist_ok=True)
+    mesh_path = (
+        os.path.join(out_dir, "output_mesh.obj")
+        if getattr(args, "export_mesh", False) else None
+    )
     profile, dsm = run_tsdf(
         args.scene_dir, maps, md0["scale"], md0["min_world"], md0["max_world"],
         md0["center"], vox_size=args.vox_size,
         trunc_margin_fact=args.trunc_margin_fact,
         resolution=0.3 if "IARPA" in args.scene_dir else 0.5,
+        export_mesh_path=mesh_path,
     )
-    out_dir = os.path.join(args.model_path, "test_opNone", f"ours_{it}", "tsdf")
-    os.makedirs(out_dir, exist_ok=True)
     write_geotiff(os.path.join(out_dir, "dsm.tif"), dsm.astype(np.float32),
                   transform=profile["transform"])
     print(f"tsdf dsm written to {out_dir}/dsm.tif")
