@@ -93,7 +93,7 @@ def _fwd_impl(pay, tile_tab, depth_tab, shape_info, tcap):
     mask = k[None, :] < jnp.minimum(count, k_cap)[:, None]
     pidx_c = jnp.where(mask, pidx, p - 1)
     dense = pay_sorted[pidx_c] * mask[:, :, None]
-    return (dense, mask, count), (src_idx, pidx, mask, n)
+    return (dense, mask, count), (src_idx, sort_tile, tstart, n)
 
 
 def _fwd(pay, tile_tab, depth_tab, shape_info, tcap):
@@ -102,25 +102,37 @@ def _fwd(pay, tile_tab, depth_tab, shape_info, tcap):
 
 
 def _bwd_full(shape_info, tcap, res, cots):
-    """Inverse of sort+densify without random gathers:
-      1. place dense-slot cotangents back at their *sorted-order* positions
-         (pidx ranges are contiguous and disjoint -> one scatter-set)
-      2. one lax.sort by the saved emission permutation carries them back to
-         emission (gaussian-major) order
-      3. reshape-sum folds the Tcap copies into per-Gaussian cotangents.
+    """Inverse of sort+densify with no scatter and no payload-carrying sort
+    (both measured expensive on the target chip — DESIGN.md: scatter-set
+    ~30 ms, an F-column payload sort ~15-25 ms at these sizes):
+      1. integer-only: each *sorted* position p belongs to tile
+         sort_tile[p] at slot k = p - tstart[tile] -> its dense-table row
+         id, or -1 where the forward dropped the pair (beyond k_cap /
+         invalid). Slots the dense view never read contribute nothing.
+      2. invert the emission->sorted permutation with ONE 2-int-column sort
+         (src_idx is a permutation of 0..P-1, so sorting (src_idx, iota)
+         yields inv[e] = sorted position of emission e).
+      3. compose the two index maps and do ONE row gather of the dense
+         cotangents straight into emission (gaussian-major) order.
+      4. reshape-sum folds the Tcap copies into per-Gaussian cotangents.
     """
-    src_idx, pidx, mask, n = res
+    n_tiles, k_cap = shape_info
+    src_idx, sort_tile, tstart, n = res
     g_dense, _, _ = cots
     f = g_dense.shape[-1]
     p = n * tcap
-    flat_idx = jnp.where(mask, pidx, p).reshape(-1)
+    pos = jnp.arange(p, dtype=jnp.int32)
+    tile = sort_tile.astype(jnp.int32)  # exact: tile ids < 2^24
+    in_range = tile < n_tiles
+    tile_c = jnp.where(in_range, tile, 0)
+    k = pos - jnp.take(tstart, tile_c)
+    ok = in_range & (k < k_cap)
+    flat_p = jnp.where(ok, tile_c * k_cap + jnp.clip(k, 0, k_cap - 1), -1)
+    _, inv = jax.lax.sort((src_idx, pos), num_keys=1)
+    flat_e = jnp.take(flat_p, inv)  # [P] dense row per emission, -1 dropped
     rows = g_dense.reshape(-1, f)
-    cot_sorted = jnp.zeros((p + 1, f), g_dense.dtype).at[flat_idx].set(
-        rows, mode="drop"
-    )[:p]
-    ops = (src_idx,) + tuple(cot_sorted[:, j] for j in range(f))
-    back = jax.lax.sort(ops, num_keys=1)
-    g_emission = jnp.stack(back[1:], axis=-1)
+    g_emission = jnp.take(rows, jnp.maximum(flat_e, 0), axis=0)
+    g_emission = g_emission * (flat_e >= 0)[:, None]
     g_pay = g_emission.reshape(n, tcap, f).sum(axis=1)
     zeros_keys = jnp.zeros((p,), jnp.float32)
     return (g_pay, zeros_keys, zeros_keys)
