@@ -123,6 +123,30 @@ def rasterize(
         px_scale = jnp.array([0.5 * width, 0.5 * height], dtype=prep.mean2d.dtype)
         prep = prep._replace(mean2d=prep.mean2d + mean2d_ndc_offset * px_scale)
 
+    grid_x, grid_y = grid_dims(width, height)
+    if config.binning_mode == "fused":
+        # sort-carried binning + ragged Pallas blend with no dense pair
+        # table (ops/fused_raster.py); interpret mode on CPU
+        from eogs2_tpu.ops.fused_raster import rasterize_fused
+
+        k_chunk = next(
+            d for d in (512, 384, 256, 128, 64, config.tile_capacity)
+            if config.tile_capacity % d == 0
+        )
+        fo = rasterize_fused(
+            prep, features, width, height,
+            tcap=config.max_tiles_per_gaussian,
+            tile_capacity=config.tile_capacity,
+            k_chunk=k_chunk,
+            interpret=jax.default_backend() == "cpu",
+        )
+        out = fo.out8[:, :, :5] + fo.out8[:, :, 5:6] * bg[None, None, :]
+        final_t = fo.out8[:, :, 5]
+        num_pairs = fo.num_pairs
+        max_tile_count = fo.max_tile_count
+        return _assemble(prep, out, final_t, num_pairs, max_tile_count,
+                         features.shape[-1], width, height, grid_x, grid_y)
+
     if config.binning_mode == "sorted":
         from eogs2_tpu.ops.pair_pipeline import densify_pairs
 
@@ -160,7 +184,6 @@ def rasterize(
         num_pairs = binning.num_pairs
         max_tile_count = binning.max_tile_count
 
-    grid_x, grid_y = grid_dims(width, height)
     if config.use_pallas:
         from eogs2_tpu.ops.blend_pallas import blend_tiles_pallas, pack_tile_data
 
@@ -188,7 +211,13 @@ def rasterize(
             use_custom_vjp=config.use_custom_vjp,
         )
 
-    c = features.shape[-1]
+    return _assemble(prep, out, final_t, num_pairs, max_tile_count,
+                     features.shape[-1], width, height, grid_x, grid_y)
+
+
+def _assemble(prep, out, final_t, num_pairs, max_tile_count, c,
+              width, height, grid_x, grid_y):
+    """Tile-major [T, P, C] blend output -> RasterOut image/stats."""
     img = out.reshape(grid_y, grid_x, TILE, TILE, c)
     img = img.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE, c)
     img = img[:height, :width]

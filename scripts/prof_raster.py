@@ -166,6 +166,29 @@ def f_fwdbwd(z):
 
 out0 = jax.jit(lambda: rasterize(means, scales, quats, opac, feat, affine,
                                  bg, W, H, CFG))()
+CFG_FUSED = RasterizeConfig(
+    tile_capacity=KCAP, tile_chunk=64, max_tiles_per_gaussian=TCAP,
+    binning_mode="fused",
+)
+
+
+def f_fused_fwd(z):
+    out = rasterize(means + z, scales, quats, opac, feat, affine, bg, W, H,
+                    CFG_FUSED)
+    return jnp.sum(out.image)
+
+
+def f_fused_fwdbwd(z):
+    def loss(m, s, q, o_, f_, a):
+        out = rasterize(m, s, q, o_, f_, a, bg, W, H, CFG_FUSED)
+        return jnp.sum(out.image[:3] ** 2) + jnp.sum(out.final_t)
+
+    v, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5))(
+        means + z, scales, quats, opac, feat, affine
+    )
+    return v + sum(jnp.sum(x) for x in g)
+
+
 print(f"device={jax.devices()[0].platform} N={N} {W}x{H} cfg={CFG}")
 print(f"observed: max_tile={int(out0.max_tile_count)} "
       f"max_tiles_per_gaussian={int(out0.max_tiles_per_gaussian_seen)} "
@@ -178,4 +201,7 @@ timeit("blend pallas fwd", f_blend)
 timeit("blend pallas fwd+bwd", f_blend_grad)
 timeit("FULL fwd", f_fwd)
 dt = timeit("FULL fwd+bwd", f_fwdbwd)
-print(f"=> {W * H / dt / 1e6:.2f} Mrays/s (in-graph, no dispatch)")
+print(f"=> sorted {W * H / dt / 1e6:.2f} Mrays/s (in-graph, no dispatch)")
+timeit("FULL fused fwd", f_fused_fwd)
+dtf = timeit("FULL fused fwd+bwd", f_fused_fwdbwd)
+print(f"=> fused {W * H / dtf / 1e6:.2f} Mrays/s (in-graph, no dispatch)")
