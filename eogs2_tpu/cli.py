@@ -98,7 +98,17 @@ def cmd_train(args):
     )
     if args.opacity_init and args.opacity_init != "auto":
         cfg.model.opacity_init_value = float(args.opacity_init)
-    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg).setup()
+    mesh = None
+    if args.n_devices > 1:
+        # multi-chip training: shard the Gaussian state over a "g" mesh axis
+        # (on CPU use XLA_FLAGS=--xla_force_host_platform_device_count=N to
+        # validate without hardware)
+        from eogs2_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.n_devices, axes=("g",))
+        print(f"training on mesh {dict(mesh.shape)} ({args.n_devices} devices)")
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg, mesh=mesh,
+                 steps_per_dispatch=args.steps_per_dispatch).setup()
     if args.opacity_init == "auto":
         tr.calibrate_opacity_init()
     if args.start_checkpoint:
@@ -289,6 +299,8 @@ def build_parser():
         sp.add_argument("--iteration", type=int, default=-1)
         sp.add_argument("--start-checkpoint", default="")
         sp.add_argument("--checkpoint-every", type=int, default=0)
+        sp.add_argument("--n-devices", type=int, default=1)
+        sp.add_argument("--steps-per-dispatch", type=int, default=1)
         sp.add_argument(
             "--raster-mode", default="safe", choices=["safe", "fast"],
             help="fast = sort-carried binning + Pallas blend kernels (TPU)",
@@ -322,6 +334,7 @@ def build_parser():
     common(sp)
     sp.add_argument("--vox-size", type=float, default=0.5)
     sp.add_argument("--trunc-margin-fact", type=float, default=4.0)
+    sp.add_argument("--export-mesh", action="store_true")
     sp.set_defaults(fn=cmd_tsdf)
 
     sp = sub.add_parser("make-synthetic")

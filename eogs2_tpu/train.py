@@ -420,8 +420,7 @@ def make_train_step(
             )
         return total, (metrics, radii)
 
-    @jax.jit
-    def step(state: TrainState, view_idx, key, gates):
+    def _step_impl(state: TrainState, view_idx, key, gates):
         m2d_off = jnp.zeros((state.params.xyz.shape[0], 2), jnp.float32)
         (loss, (metrics, radii)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
@@ -468,7 +467,40 @@ def make_train_step(
         metrics["grad_m2d_max"] = jnp.max(jnp.abs(g_m2d))
         return new_state, metrics
 
-    return step
+    step_jit = jax.jit(_step_impl, donate_argnums=(0,))
+
+    def _chunk_impl(state, view_idxs, keys, gates_stack, prune_gates):
+        """S consecutive iterations in ONE dispatch (lax.scan): amortizes the
+        per-dispatch host round trip (~25 ms on the tunnelled chip,
+        DESIGN.md) over S steps. The host loop's per-iteration transparent
+        pruning (train_pan.py:674-677 analog) is folded in-graph, gated per
+        iteration; all other maintenance stays at chunk boundaries."""
+
+        def body(st, xs):
+            vi, k, g, pg = xs
+            st, metrics = _step_impl(st, vi, k, g)
+            kill = st.params.opacity[:, 0] < o.min_opacity
+            alive = st.aux.alive & ~(kill & (pg > 0.5))
+            st = st.replace(aux=st.aux.replace(alive=alive))
+            return st, metrics
+
+        return jax.lax.scan(
+            body, state, (view_idxs, keys, gates_stack, prune_gates)
+        )
+
+    chunk_jit = jax.jit(_chunk_impl, donate_argnums=(0,))
+
+    class CompiledTrainStep:
+        """Callable single jitted step; `.chunk(...)` runs S steps per
+        dispatch."""
+
+        def __call__(self, *args):
+            return step_jit(*args)
+
+        def chunk(self, *args):
+            return chunk_jit(*args)
+
+    return CompiledTrainStep()
 
 
 def _next_bucket(x: int, lo: int = 128) -> int:
@@ -482,8 +514,10 @@ def make_gates(cfg: TrainConfig, iteration: int, init_count: int) -> Dict[str, j
     o = cfg.optimization
 
     def gate(start, end=None):
+        # np scalars (same f32[] aval as jnp, no per-gate device transfer;
+        # cheap to build per-iteration when stacking scan chunks)
         on = iteration > start and (end is None or iteration < end)
-        return jnp.float32(1.0 if on else 0.0)
+        return np.float32(1.0 if on else 0.0)
 
     return {
         "opacity": gate(o.iterstart_L_opacity, o.iterend_L_opacity),
@@ -493,7 +527,7 @@ def make_gates(cfg: TrainConfig, iteration: int, init_count: int) -> Dict[str, j
         "tv": gate(o.iterstart_L_TV_altitude),
         "erank": gate(o.iterstart_L_erank),
         "acc_opacity": gate(o.iterstart_L_accumulated_opacity),
-        "learn_msitopan": jnp.float32(
+        "learn_msitopan": np.float32(
             0.0
             if (cfg.optimization.freeze_start_msitopan_params
                 and iteration < o.iterstart_learn_msitopan_params)
@@ -504,7 +538,7 @@ def make_gates(cfg: TrainConfig, iteration: int, init_count: int) -> Dict[str, j
             o.iterstart_flowmatching, o.flowmatching.iterend_flowmatching
         ),
         "nll": gate(getattr(o, "iterstart_L_nll", 9_999_999_999)),
-        "init_count": jnp.float32(init_count),
+        "init_count": np.float32(init_count),
     }
 
 
@@ -532,6 +566,25 @@ class Trainer:
     raster_cfg: RasterizeConfig = RasterizeConfig()
     eval_hook: Optional[Callable] = None  # fn(trainer, state, iteration) -> dict
     log_hook: Optional[Callable] = None
+    # Multi-chip training (all-new vs the single-GPU reference, SURVEY §2.3):
+    # a jax.sharding.Mesh with a "g" axis shards the Gaussian SoA + Adam
+    # moments over chips; GSPMD partitions the jitted step (preprocess and
+    # parameter updates stay local, the rasterizer's sort gathers, shading
+    # grads are psum'd by the partitioner). Maintenance/densify are jitted
+    # masked updates over the same sharded arrays, so they stay sharded too.
+    mesh: Optional[object] = None
+    # >1: run up to this many iterations per dispatch (lax.scan inside one
+    # jit) to amortize the per-dispatch host round trip; chunks break at
+    # host events (logging, densify/reset cadence, eval, phase changes) so
+    # semantics match the per-iteration loop.
+    steps_per_dispatch: int = 1
+
+    def _place(self, state):
+        if self.mesh is None:
+            return state
+        from eogs2_tpu.parallel.mesh import shard_gaussian_state
+
+        return shard_gaussian_state(state, self.mesh)
 
     def setup(self):
         cfg = self.cfg
@@ -595,14 +648,14 @@ class Trainer:
         self._share_cc = share_cc
         self.gauss_tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15)
         self.cam_tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
-        self.state = TrainState(
+        self.state = self._place(TrainState(
             params=model.params,
             aux=model.aux,
             shading=shading,
             g_opt=self.gauss_tx.init(model.params),
             c_opt=self.cam_tx.init(shading),
             step=jnp.int32(0),
-        )
+        ))
         mode = cfg.model.msi_to_pan_name
         # pan conversion applies only to pan-type cameras; in the single-
         # modality modes every view shares the type.
@@ -689,7 +742,7 @@ class Trainer:
             mu, nu = st.g_opt.mu, st.g_opt.nu
             model, mu, nu = reset_opacity_with_moments(model, mu, nu)
             st = st.replace(g_opt=st.g_opt._replace(mu=mu, nu=nu))
-        self.state = st.replace(params=model.params, aux=model.aux)
+        self.state = self._place(st.replace(params=model.params, aux=model.aux))
 
     def apply_flowmatching_to_affine(self):
         """Bake the per-view mean gt->render flow into every camera affine
@@ -751,6 +804,33 @@ class Trainer:
             params=model.params, g_opt=st.g_opt._replace(mu=mu, nu=nu)
         )
 
+    def _host_event(self, i: int, iters: int) -> bool:
+        """True when host-side work follows iteration i (a scan chunk may
+        not run past it)."""
+        o = self.cfg.optimization
+        d = o.densification
+        log = self.cfg.logging
+        if i >= iters or i % 50 == 0 or i % log.tb_log_interval == 0:
+            return True
+        if self.eval_hook and i % log.testing_interval == 0:
+            return True
+        if (
+            i < o.densify_until_iter
+            and not o.only_prune
+            and i > d.densify_from_iter
+            and i % d.densification_interval == 0
+        ):
+            return True
+        if (
+            o.opacity_reset_interval >= 0
+            and i % o.opacity_reset_interval == 0
+            and i < o.iterend_opacity_reset_interval
+        ):
+            return True
+        if i in (o.itr_apply_flowmatching_to_affine, o.color_reset_iterations):
+            return True
+        return i in self.cfg.checkpoint_iterations
+
     def train(self, max_iterations: Optional[int] = None, progress: bool = True):
         o = self.cfg.optimization
         iters = max_iterations or o.iterations
@@ -761,21 +841,62 @@ class Trainer:
         interval_metrics: list = []
         t0 = time.time()
         num_views = len(self.scene.train_views)
-        for iteration in range(1, iters + 1):
+        spd = max(1, int(self.steps_per_dispatch))
+
+        def pick_views():
+            nonlocal view_stack
             vps = min(getattr(o, "views_per_step", 1), num_views)
             picked = []
             while len(picked) < vps:
                 if not view_stack:
                     view_stack = list(self.rng.permutation(num_views))
                 picked.append(int(view_stack.pop()))
-            view_idx = picked[0] if vps == 1 else np.asarray(picked, np.int32)
-            phase = phase_for_iteration(self.cfg, iteration)
+            return picked[0] if vps == 1 else picked
+
+        iteration = 0
+        while iteration < iters:
+            i0 = iteration + 1
+            phase = phase_for_iteration(self.cfg, i0)
             step = self._get_step(phase)
-            gates = make_gates(self.cfg, iteration, self.init_count)
-            self.key, k = jax.random.split(self.key)
-            self.state, metrics = step(
-                self.state, jnp.asarray(view_idx, jnp.int32), k, gates
-            )
+            span = 1
+            while (
+                span < spd
+                and not self._host_event(i0 + span - 1, iters)
+                and phase_for_iteration(self.cfg, i0 + span) == phase
+            ):
+                span += 1
+            if span == 1:
+                view_idx = pick_views()
+                gates = make_gates(self.cfg, i0, self.init_count)
+                self.key, k = jax.random.split(self.key)
+                self.state, metrics = step(
+                    self.state, jnp.asarray(view_idx, jnp.int32), k, gates
+                )
+            else:
+                view_idxs = np.asarray(
+                    [pick_views() for _ in range(span)], np.int32
+                )
+                gates_list = [
+                    make_gates(self.cfg, i0 + s, self.init_count)
+                    for s in range(span)
+                ]
+                gates_stack = {
+                    gk: np.stack([g[gk] for g in gates_list])
+                    for gk in gates_list[0]
+                }
+                prune_gates = np.asarray(
+                    [
+                        1.0 if (i0 + s) < o.densify_until_iter else 0.0
+                        for s in range(span)
+                    ],
+                    np.float32,
+                )
+                keys = jax.random.split(self.key, span + 1)
+                self.key = keys[0]
+                self.state, metrics = step.chunk(
+                    self.state, view_idxs, keys[1:], gates_stack, prune_gates
+                )
+            iteration = i0 + span - 1
             interval_metrics.append(metrics)
 
             # capacity auto-rebucketing (the host-side analog of the CUDA
@@ -784,8 +905,10 @@ class Trainer:
             # next bucket and rebuild the compiled steps. Checked cheaply
             # every 50 iterations (each check syncs two scalars).
             if iteration % 50 == 0:
-                mt = float(metrics["max_tile"])
-                mtg = float(metrics.get("max_tiles_per_gaussian", 0.0))
+                mt = float(np.max(np.asarray(metrics["max_tile"])))
+                mtg = float(
+                    np.max(np.asarray(metrics.get("max_tiles_per_gaussian", 0.0)))
+                )
                 rc = self.raster_cfg
                 grew = None
                 if mt >= 0.95 * rc.tile_capacity:
@@ -820,7 +943,14 @@ class Trainer:
 
             if iteration % self.cfg.logging.tb_log_interval == 0:
                 m = {
-                    k: float(np.mean([float(x[k]) for x in interval_metrics]))
+                    k: float(
+                        np.mean(
+                            np.concatenate(
+                                [np.atleast_1d(np.asarray(x[k]))
+                                 for x in interval_metrics]
+                            )
+                        )
+                    )
                     for k in interval_metrics[0]
                 }
                 m["iteration"] = iteration
@@ -952,4 +1082,5 @@ class Trainer:
         from eogs2_tpu.checkpoint import restore_checkpoint
 
         self.state, iteration = restore_checkpoint(path, self.state)
+        self.state = self._place(self.state)
         return iteration
