@@ -93,7 +93,8 @@ def cmd_train(args):
         pair_capacity=1 << args.log2_pair_capacity,
         tile_capacity=args.tile_capacity,
         tile_chunk=args.tile_chunk,
-        binning_mode="sorted" if args.raster_mode == "fast" else "gather",
+        binning_mode={"safe": "gather", "fast": "sorted",
+                      "fused": "fused"}[args.raster_mode],
         use_pallas=args.raster_mode == "fast",
     )
     if args.opacity_init and args.opacity_init != "auto":
@@ -302,8 +303,10 @@ def build_parser():
         sp.add_argument("--n-devices", type=int, default=1)
         sp.add_argument("--steps-per-dispatch", type=int, default=1)
         sp.add_argument(
-            "--raster-mode", default="safe", choices=["safe", "fast"],
-            help="fast = sort-carried binning + Pallas blend kernels (TPU)",
+            "--raster-mode", default="safe",
+            choices=["safe", "fast", "fused"],
+            help="fast = sort-carried binning + Pallas blend kernels (TPU); "
+                 "fused = ragged sort-carried blend, no dense pair table",
         )
         sp.add_argument(
             "--opacity-init", default="",

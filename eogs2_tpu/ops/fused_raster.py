@@ -379,14 +379,16 @@ def _fused_bwd(shape_info, tcap, k_chunk, interpret, res, cots):
     k = pos - jnp.take(tstart, tile_c)
     ok = in_range & (k < k_cap)
     _, inv = jax.lax.sort((src_idx, pos), num_keys=1)
-    rows = gpay_pad[:p]
+    # compact to the 16 used columns BEFORE the row gather — gathering the
+    # full 128-lane padded rows moves 8x the bytes (measured: fused bwd 38ms
+    # vs sorted 7ms at 400k rows until this slice)
+    rows = gpay_pad[:p, :16]
     # where(), not multiply: rows no tile window wrote are uninitialized and
     # may hold NaN, which a 0-multiply would propagate
     g_emission = jnp.where(
         jnp.take(ok, inv)[:, None], jnp.take(rows, inv, axis=0), 0.0
     )
-    f = NFF
-    g_pay = g_emission.reshape(n, tcap, f).sum(axis=1)
+    g_pay = g_emission.reshape(n, tcap, 16).sum(axis=1)
     zeros_keys = jnp.zeros((p,), jnp.float32)
     return (g_pay[:, :11], zeros_keys, zeros_keys)
 

@@ -47,7 +47,9 @@ class RasterizeConfig:
     antialiasing: bool = False
     use_custom_vjp: bool = True
     use_pallas: bool = False  # Pallas blend kernels (TPU only)
-    binning_mode: str = "gather"  # "gather" | "sorted" (sort-carried payloads)
+    # "gather" (dense pair table) | "sorted" (sort-carried payloads) |
+    # "fused" (sort-carried + ragged Pallas blend, no dense pair table)
+    binning_mode: str = "gather"
 
     def bucketed(self, max_tile: int, max_tiles_per_gaussian: int) -> "RasterizeConfig":
         """Next power-of-two bucket that fits the observed sizes."""
