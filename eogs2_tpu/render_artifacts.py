@@ -126,7 +126,9 @@ def render_sets(args):
         base = os.path.join(args.model_path, f"{split}_opNone", f"ours_{it}")
         for kind in ("final", "raw_render", "cc", "altitude", "acc_opacity",
                      "shadowmap", "gt", "flowmatched_altitude", "nadir_pov",
-                     "sun_pov"):
+                     "sun_pov", "nadirpovsampled", "nadiraltitudesampled",
+                     "nadir_altitude_diff", "sunpovsampled",
+                     "flow_matched_image", "gt_flowmatch"):
             os.makedirs(os.path.join(base, kind), exist_ok=True)
         for vi, view in enumerate(views):
             if view.is_virtual:
@@ -150,17 +152,51 @@ def render_sets(args):
             if view.image is not None:
                 _save_png(os.path.join(base, "gt", name + ".png"), view.image)
 
-            # nadir-POV resample of this view (render_pan.py nadir artifacts)
+            # nadir-POV render + resample of this view onto the nadir grid
+            # (render_pan.py "nadirpov"/"nadirpovsampled"/
+            # "nadiraltitudesampled"/"nadir_altitude_diff" artifacts)
             if split == "train":
-                nadir_cam, _ = view.camera.nadir_camera()
+                from eogs2_tpu.renderer import render_resample_virtual_camera
+
+                hn, wn = out["altitude"].shape[:2]
+                uva = jnp.asarray(out["rendered_uva"])
+                bgv = jnp.asarray(
+                    [1.0, 0.0, 1.0, float(view.camera.altitude_bounds[0]), 0.0],
+                    jnp.float32,
+                )
+                nadir_cam, cam2nadir = view.camera.nadir_camera()
                 nout = render_view_full(model, nadir_cam, rcfg, with_sun=False)
                 _save_png(os.path.join(base, "nadir_pov", name + ".png"),
                           nout["raw_render"])
+                n_rgb, n_alt, _, _ = render_resample_virtual_camera(
+                    model, nadir_cam, jnp.asarray(cam2nadir), uva, bgv, rcfg
+                )
+                _save_png(os.path.join(base, "nadirpovsampled", name + ".png"),
+                          np.asarray(n_rgb)[:, :hn, :wn])
+                n_alt = np.asarray(n_alt)[:hn, :wn]
+                _save_float(
+                    os.path.join(base, "nadiraltitudesampled", name + ".tif"),
+                    n_alt,
+                )
+                alt2d = np.asarray(out["altitude"])
+                if alt2d.ndim == 3:
+                    alt2d = alt2d[..., 0]
+                _save_float(
+                    os.path.join(base, "nadir_altitude_diff", name + ".tif"),
+                    alt2d - n_alt,
+                )
                 if view.camera.has_sun:
-                    sun_cam, _ = view.camera.sun_camera(f=1)
+                    sun_cam, cam2sun = view.camera.sun_camera(f=1)
                     sout = render_view_full(model, sun_cam, rcfg, with_sun=False)
                     _save_png(os.path.join(base, "sun_pov", name + ".png"),
                               sout["raw_render"])
+                    s_rgb, _, _, _ = render_resample_virtual_camera(
+                        model, sun_cam, jnp.asarray(cam2sun), uva, bgv, rcfg
+                    )
+                    _save_png(
+                        os.path.join(base, "sunpovsampled", name + ".png"),
+                        np.asarray(s_rgb)[:, :hn, :wn],
+                    )
 
             # flow-matched altitude for the TSDF stage (render_pan.py:285-306):
             # shift the altitude map by the gt->render flow so TSDF fuses
@@ -176,6 +212,20 @@ def render_sets(args):
                     os.path.join(base, "flowmatched_altitude", name + ".tif"),
                     warped_alt,
                 )
+                # render warped by the same flow + the (unwarped) gt pair
+                # (render_pan.py "flow_matched_image"/"gt_flowmatch")
+                warped_final = apply_flow_to_image(
+                    jnp.asarray(final).transpose(2, 0, 1)
+                    if np.asarray(final).ndim == 3 and final.shape[-1] <= 4
+                    else jnp.asarray(final),
+                    dx, dy,
+                )
+                _save_png(
+                    os.path.join(base, "flow_matched_image", name + ".png"),
+                    np.asarray(warped_final),
+                )
+                _save_png(os.path.join(base, "gt_flowmatch", name + ".png"),
+                          np.asarray(gt))
 
     # Nadir DSM (render_pan.py:401-411)
     dsm_dir = os.path.join(args.model_path, "test_opNone", f"ours_{it}", "dsm")
@@ -190,5 +240,9 @@ def render_sets(args):
         t = profile["transform"]
         json.dump({"xoff": t.c, "yoff": t.f, "res": t.a,
                    "height": profile["height"], "width": profile["width"]}, f)
+    # png preview of the DSM (render_pan.py:422-423 matplotlib analog)
+    png_dir = os.path.join(args.model_path, "test_opNone", f"ours_{it}", "png")
+    os.makedirs(png_dir, exist_ok=True)
+    _save_png(os.path.join(png_dir, "Nadir_dsm.png"), dsm[:, :, 0])
     print(f"rendered artifacts for iteration {it} -> {args.model_path}")
     return 0

@@ -36,8 +36,16 @@ def test_cli_full_chain(tmp_path, capsys, seed):
                     "--tile-capacity", "256", "--tile-chunk", "8"]) == 0
     dsm = os.path.join(out, "test_opNone", "ours_40", "dsm", "Nadir.tif")
     assert os.path.exists(dsm)
-    assert os.path.exists(os.path.join(out, "train_opNone", "ours_40",
-                                       "altitude"))
+    train_base = os.path.join(out, "train_opNone", "ours_40")
+    # every reference-active artifact kind must exist and be non-empty for
+    # train views (render_pan.py:311-399 artifact lists)
+    for kind in ("altitude", "acc_opacity", "final", "raw_render", "cc",
+                 "gt", "nadir_pov", "nadirpovsampled", "nadiraltitudesampled",
+                 "nadir_altitude_diff", "flowmatched_altitude",
+                 "flow_matched_image", "gt_flowmatch"):
+        assert os.listdir(os.path.join(train_base, kind)), kind
+    assert os.path.exists(os.path.join(out, "test_opNone", "ours_40", "png",
+                                       "Nadir_dsm.png"))
 
     assert run_cli(["tsdf", "--scene-dir", d, "--model-path", out,
                     "--vox-size", "0.5", "--tile-capacity", "256"]) == 0
