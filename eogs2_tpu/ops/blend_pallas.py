@@ -15,8 +15,15 @@ CPU path), but fused into single kernels so the [tiles, P, K] intermediates
     backward, [T, 16, K] packed gradients that flow into the caller's
     gather/sort VJP exactly like the jnp path.
 
-Forward residuals are the packed inputs only — the backward re-rasterizes,
-mirroring CUDA's save-final_T-and-rewalk strategy (backward.cu:457-643).
+Forward residuals are the packed inputs plus the per-pixel final
+transmittance and live-contributor count (channels 5 and 6 of the output).
+The backward is a SINGLE back-to-front pass, mirroring CUDA's
+save-final_T-and-n_contrib-then-rewalk strategy (backward.cu:457-643):
+because transmittance is monotone decreasing, the live set is a prefix, so
+`n_contrib` fully determines it without re-walking forward; per-pair
+transmittance is reconstructed from final_t by dividing out later pairs'
+(1-alpha) (as suffix log-sums via reversed triangular matmuls), and the
+color suffix accumulates in the same reverse walk.
 All dots run at Precision.HIGHEST: bf16 matmul quantization in the
 log-transmittance prefix sums measurably corrupts training (DESIGN.md #6).
 """
@@ -105,7 +112,7 @@ def _fwd_kernel(data_ref, out_ref, *, k_chunk, n_chunks, grid_x):
     tri = _tri(k_chunk)
 
     def body(c, carry):
-        acc, carry_raw, carry_live = carry
+        acc, carry_raw, carry_live, carry_n = carry
         alpha, _, _, _, _ = _alpha_chunk(data_ref, c, k_chunk, ox, oy)
         logs = jnp.log1p(-alpha)
         s_incl = carry_raw + jnp.dot(
@@ -123,15 +130,20 @@ def _fwd_kernel(data_ref, out_ref, *, k_chunk, n_chunks, grid_x):
         carry_live = carry_live + jnp.sum(
             jnp.where(live, logs, 0.0), axis=-1, keepdims=True
         )
-        return acc, s_incl[:, -1:], carry_live
+        # contributor count: live is a prefix of the pair sequence (cp is
+        # monotone decreasing), so the count IS the cutoff index
+        carry_n = carry_n + jnp.sum(live.astype(jnp.float32), axis=-1,
+                                    keepdims=True)
+        return acc, s_incl[:, -1:], carry_live, carry_n
 
-    acc, _, carry_live = jax.lax.fori_loop(
+    acc, _, carry_live, carry_n = jax.lax.fori_loop(
         0, n_chunks, body,
         (jnp.zeros((P, 5), jnp.float32), jnp.zeros((P, 1), jnp.float32),
-         jnp.zeros((P, 1), jnp.float32)),
+         jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)),
     )
     out_ref[0] = jnp.concatenate(
-        [acc, jnp.exp(carry_live), jnp.zeros((P, 2), jnp.float32)], axis=1
+        [acc, jnp.exp(carry_live), carry_n, jnp.zeros((P, 1), jnp.float32)],
+        axis=1,
     )
 
 
@@ -157,62 +169,54 @@ def blend_forward_pallas(data, grid_x: int, k_chunk: int = 512,
     )(data)
 
 
+def _tri_strict_after(kc):
+    """U[i,j] = 1 iff i > j: (x @ U)[:, j] = sum_{i>j} x[:, i]."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 1)
+    return (r > c).astype(jnp.float32)
+
+
 def _bwd_kernel(data_ref, gout_ref, gdata_ref, *, k_chunk, n_chunks, grid_x):
+    """Single back-to-front pass (CUDA backward.cu:457-643 strategy).
+
+    gout channels: 0..4 pixel grads, 5 dL/dfinal_t (background term folded
+    in), 6 final_t, 7 n_contrib. Per-pair transmittance is reconstructed
+    from final_t by dividing out the (1-alpha) of every LATER live pair
+    (suffix log-sum); the live set is exactly {pair index < n_contrib}.
+    """
     ox, oy = _origin(grid_x)
-    tri = _tri(k_chunk)
+    triu = _tri_strict_after(k_chunk)
     g_pix = gout_ref[0, :, :5]
-    g_ft = gout_ref[0, :, 5:6]  # includes the (g_pix . bg) background fold
+    g_ft = gout_ref[0, :, 5:6]
+    final_t = gout_ref[0, :, 6:7]
+    n_contrib = gout_ref[0, :, 7:8]
+    log_ft = jnp.log(final_t)  # final_t >= T_EPS*(1-ALPHA_MAX) > 0
 
-    # pass 1: total foreground contribution and final_t
-    def body1(c, carry):
-        carry_raw, carry_live, total = carry
-        alpha, _, _, _, _ = _alpha_chunk(data_ref, c, k_chunk, ox, oy)
-        logs = jnp.log1p(-alpha)
-        s_incl = carry_raw + jnp.dot(
-            logs, tri, preferred_element_type=jnp.float32, precision=HI
-        )
-        cp = jnp.exp(s_incl)
-        live = cp >= T_EPS
-        w = jnp.where(live, alpha * cp / (1.0 - alpha), 0.0)
-        featc = _feat_chunk(data_ref, c, k_chunk)
-        fdot = jnp.dot(g_pix, featc, preferred_element_type=jnp.float32,
-                       precision=HI)
-        total = total + jnp.sum(w * fdot, axis=-1, keepdims=True)
-        carry_live = carry_live + jnp.sum(
-            jnp.where(live, logs, 0.0), axis=-1, keepdims=True
-        )
-        return s_incl[:, -1:], carry_live, total
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
 
-    _, carry_live, total = jax.lax.fori_loop(
-        0, n_chunks, body1,
-        (jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32),
-         jnp.zeros((P, 1), jnp.float32)),
-    )
-    final_t = jnp.exp(carry_live)
-
-    # pass 2: gradients
-    def body2(c, carry):
-        carry_raw, prefix = carry
+    def body(cr, carry):
+        carry_s, carry_suffix = carry
+        c = n_chunks - 1 - cr
         alpha, g, dx, dy, keep = _alpha_chunk(data_ref, c, k_chunk, ox, oy)
         one_minus = 1.0 - alpha
-        logs = jnp.log1p(-alpha)
-        s_incl = carry_raw + jnp.dot(
-            logs, tri, preferred_element_type=jnp.float32, precision=HI
+        livem = (c * k_chunk + kidx).astype(jnp.float32) < n_contrib  # [P,Kc]
+        logs = jnp.where(livem, jnp.log1p(-alpha), 0.0)
+        # sum of live logs strictly after j (this chunk) + later chunks
+        s_after = carry_s + jnp.dot(
+            logs, triu, preferred_element_type=jnp.float32, precision=HI
         )
-        cp = jnp.exp(s_incl)
-        live = cp >= T_EPS
+        cp = jnp.exp(log_ft - s_after)  # inclusive transmittance at j
         t_before = cp / one_minus
-        w = jnp.where(live, alpha * t_before, 0.0)
+        w = jnp.where(livem, alpha * t_before, 0.0)
         featc = _feat_chunk(data_ref, c, k_chunk)
         fdot = jnp.dot(g_pix, featc, preferred_element_type=jnp.float32,
                        precision=HI)
         contrib = w * fdot
-        prefix_inc = prefix + jnp.dot(
-            contrib, tri, preferred_element_type=jnp.float32, precision=HI
+        suffix = carry_suffix + jnp.dot(
+            contrib, triu, preferred_element_type=jnp.float32, precision=HI
         )
-        suffix = total - prefix_inc
         g_alpha = fdot * t_before - (suffix + final_t * g_ft) / one_minus
-        g_alpha = jnp.where(live & keep, g_alpha, 0.0)
+        g_alpha = jnp.where(livem & keep, g_alpha, 0.0)
 
         sl = pl.ds(c * k_chunk, k_chunk)
         ca = data_ref[0, 2, sl]
@@ -239,10 +243,12 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, *, k_chunk, n_chunks, grid_x):
             axis=0,
         )  # [NF,Kc]
         gdata_ref[0, :, sl] = gchunk
-        return s_incl[:, -1:], prefix_inc[:, -1:]
+        carry_s = carry_s + jnp.sum(logs, axis=-1, keepdims=True)
+        carry_suffix = carry_suffix + jnp.sum(contrib, axis=-1, keepdims=True)
+        return carry_s, carry_suffix
 
     jax.lax.fori_loop(
-        0, n_chunks, body2,
+        0, n_chunks, body,
         (jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)),
     )
 
@@ -282,16 +288,19 @@ def blend_tiles_pallas(data, bg, grid_x, k_chunk, interpret):
 def _fwd(data, bg, grid_x, k_chunk, interpret):
     out = blend_forward_pallas(data, grid_x, k_chunk=k_chunk, interpret=interpret)
     img = out[:, :, :5] + out[:, :, 5:6] * bg[None, None, :]
-    return (img, out[:, :, 5]), (data, bg, out[:, :, 5])
+    return (img, out[:, :, 5]), (data, bg, out[:, :, 5], out[:, :, 6])
 
 
 def _bwd(grid_x, k_chunk, interpret, res, grads):
-    data, bg, final_t = res
+    data, bg, final_t, n_contrib = res
     g_img, g_ft = grads
     g_ft_total = g_ft + jnp.einsum("tpc,c->tp", g_img, bg)
-    # [T,P,8]: channel grads 0..4, final_t grad at 5, padding rows 6..7
-    gout = jnp.concatenate(
-        [g_img, g_ft_total[..., None], jnp.zeros_like(g_img[..., :2])], axis=-1
+    # [T,P,8]: channel grads 0..4, dL/dfinal_t at 5, then the residuals the
+    # single-pass backward reconstructs transmittance from: final_t at 6,
+    # n_contrib at 7
+    gout = jnp.stack(
+        [g_img[..., 0], g_img[..., 1], g_img[..., 2], g_img[..., 3],
+         g_img[..., 4], g_ft_total, final_t, n_contrib], axis=-1
     )
     gdata = blend_backward_pallas(data, gout, grid_x, k_chunk=k_chunk,
                                   interpret=interpret)

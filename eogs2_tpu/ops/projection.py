@@ -59,6 +59,49 @@ def project_points(means3d, affine):
     return means3d @ affine[:, :3].T + affine[:, 3]
 
 
+def compute_cov2d_direct(scales, quats, affine, width, height,
+                         scale_modifier: float = 1.0):
+    """Fused (scale, quat) -> 2D covariance without [N,3,3] intermediates.
+
+    Same math as build_cov3d + compute_cov2d — cov2d = (J R) diag(s^2)
+    (J R)^T with the reference's UNNORMALIZED quaternion convention
+    (forward.cu:117-151, :74-112) — but written as scalar column
+    expressions over [N] vectors. Materialized [N,3]/[N,3,3] arrays pad
+    their minor dim to the 128-lane tile on TPU (a 42x bandwidth tax); the
+    column form keeps everything in [N]-shaped registers of one fused
+    elementwise kernel. Autodiff reproduces backward.cu:331-394 exactly
+    (including the unnormalized-quat rule).
+    """
+    px = jnp.asarray([0.5 * width, 0.5 * height], dtype=scales.dtype)
+    J = px[:, None] * affine[:2, :3]  # [2,3] constant Jacobian
+    r, x, y, z = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    # rotation columns (R[:, k]) as scalar expressions
+    R00 = 1.0 - 2.0 * (y * y + z * z)
+    R01 = 2.0 * (x * y - r * z)
+    R02 = 2.0 * (x * z + r * y)
+    R10 = 2.0 * (x * y + r * z)
+    R11 = 1.0 - 2.0 * (x * x + z * z)
+    R12 = 2.0 * (y * z - r * x)
+    R20 = 2.0 * (x * z - r * y)
+    R21 = 2.0 * (y * z + r * x)
+    R22 = 1.0 - 2.0 * (x * x + y * y)
+    # A = J @ R, rows a (screen-x) and b (screen-y), columns k=0..2
+    a0 = J[0, 0] * R00 + J[0, 1] * R10 + J[0, 2] * R20
+    a1 = J[0, 0] * R01 + J[0, 1] * R11 + J[0, 2] * R21
+    a2 = J[0, 0] * R02 + J[0, 1] * R12 + J[0, 2] * R22
+    b0 = J[1, 0] * R00 + J[1, 1] * R10 + J[1, 2] * R20
+    b1 = J[1, 0] * R01 + J[1, 1] * R11 + J[1, 2] * R21
+    b2 = J[1, 0] * R02 + J[1, 1] * R12 + J[1, 2] * R22
+    s0 = scale_modifier * scales[:, 0]
+    s1 = scale_modifier * scales[:, 1]
+    s2 = scale_modifier * scales[:, 2]
+    s0, s1, s2 = s0 * s0, s1 * s1, s2 * s2
+    cxx = a0 * a0 * s0 + a1 * a1 * s1 + a2 * a2 * s2
+    cxy = a0 * b0 * s0 + a1 * b1 * s1 + a2 * b2 * s2
+    cyy = b0 * b0 * s0 + b1 * b1 * s1 + b2 * b2 * s2
+    return jnp.stack([cxx, cxy, cyy], axis=-1)
+
+
 def compute_cov2d(cov3d6, affine, width, height):
     """2D screen-space covariance (before dilation): J Sigma J^T.
 
@@ -87,17 +130,20 @@ def preprocess_gaussians(
     height: int,
     antialiasing: bool = False,
     alive=None,
+    cov2d=None,
 ):
     """Vectorized equivalent of FORWARD::preprocess for one camera.
 
     Args:
       means3d: [N,3] world (normalized-UTM) positions.
-      cov3d6: [N,6] packed 3D covariances.
+      cov3d6: [N,6] packed 3D covariances (ignored when cov2d is given).
       opacities: [N] activated opacities in (0,1).
       affine: [3,4] camera affine (world -> (u_ndc, v_ndc, altitude)).
       width, height: static image size in pixels.
       antialiasing: apply the sqrt(det/det_dilated) opacity rescale.
       alive: optional [N] bool mask; dead Gaussians get radius 0.
+      cov2d: optional [N,3] precomputed screen covariance (cxx,cxy,cyy) —
+        the compute_cov2d_direct fast path.
 
     Returns a Preprocessed NamedTuple. Differentiable in means3d, cov3d6,
     opacities and affine; the integer tile fields are naturally
@@ -109,7 +155,9 @@ def preprocess_gaussians(
     mean2d = jnp.stack([px, py], axis=-1)
     depth = -uva[:, 2]  # altitude-descending composite order
 
-    cov = compute_cov2d(cov3d6, affine, width, height)  # [N,3] (cxx,cxy,cyy)
+    cov = cov2d if cov2d is not None else compute_cov2d(
+        cov3d6, affine, width, height
+    )  # [N,3] (cxx,cxy,cyy)
     h_var = 0.3
     det_cov = cov[:, 0] * cov[:, 2] - cov[:, 1] * cov[:, 1]
     cxx = cov[:, 0] + h_var

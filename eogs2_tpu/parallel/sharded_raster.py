@@ -34,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from eogs2_tpu.ops.binning import grid_dims
 from eogs2_tpu.ops.blend import blend_tiles
 from eogs2_tpu.ops.gaussians import build_cov3d
-from eogs2_tpu.ops.projection import TILE, preprocess_gaussians
+from eogs2_tpu.ops.projection import TILE, compute_cov2d_direct, preprocess_gaussians
 
 NF = 16  # payload floats per pair: mx,my,ca,cb,cc,op,f0..f4,mask,pad
 
@@ -103,9 +103,10 @@ def sharded_render(
     n_tiles = grid_x * grid_y
 
     def shard_fn(means3d, scales, quats, opacities, feat, alive, affine, bg):
-        cov3d6 = build_cov3d(scales, quats)
+        cov2d = compute_cov2d_direct(scales, quats, affine, width, height)
         prep = preprocess_gaussians(
-            means3d, cov3d6, opacities, affine, width, height, alive=alive
+            means3d, None, opacities, affine, width, height, alive=alive,
+            cov2d=cov2d,
         )
         tile_tab, depth_tab, payload_tab = _emit_local_pairs(
             prep, feat, width, height, tcap

@@ -31,7 +31,11 @@ import jax.numpy as jnp
 from eogs2_tpu.ops.binning import Binning, bin_gaussians, grid_dims, tile_pair_indices
 from eogs2_tpu.ops.blend import blend_tiles
 from eogs2_tpu.ops.gaussians import build_cov3d
-from eogs2_tpu.ops.projection import TILE, preprocess_gaussians
+from eogs2_tpu.ops.projection import (
+    TILE,
+    compute_cov2d_direct,
+    preprocess_gaussians,
+)
 
 NUM_CHANNELS = 5  # RGB + altitude + constant-1 (config.h:15)
 
@@ -110,16 +114,19 @@ def rasterize(
 
     Returns RasterOut. Differentiable wrt all float inputs incl. `affine`.
     """
-    cov3d6 = build_cov3d(scales, quats)
+    # fused (scale,quat)->cov2d column math: skips the [N,3,3]/[N,6]
+    # intermediates whose 128-lane padding costs 42x HBM bandwidth
+    cov2d = compute_cov2d_direct(scales, quats, affine, width, height)
     prep = preprocess_gaussians(
         means3d,
-        cov3d6,
+        None,
         opacities,
         affine,
         width,
         height,
         antialiasing=config.antialiasing,
         alive=alive,
+        cov2d=cov2d,
     )
     if mean2d_ndc_offset is not None:
         px_scale = jnp.array([0.5 * width, 0.5 * height], dtype=prep.mean2d.dtype)

@@ -39,6 +39,7 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 W = H = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 TCAP = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 KCAP = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+KCHUNK = int(sys.argv[5]) if len(sys.argv) > 5 else 64
 REPS = 10
 
 rng = np.random.RandomState(42)
@@ -59,7 +60,7 @@ bg = np.array([0, 0, 0, -1, 0], np.float32)
     jnp.asarray(x) for x in (means, scales, quats, opac, feat, affine, bg)
 )
 CFG = RasterizeConfig(
-    tile_capacity=KCAP, tile_chunk=64, max_tiles_per_gaussian=TCAP,
+    tile_capacity=KCAP, tile_chunk=KCHUNK, max_tiles_per_gaussian=TCAP,
     binning_mode="sorted", use_pallas=True,
 )
 
@@ -167,7 +168,7 @@ def f_fwdbwd(z):
 out0 = jax.jit(lambda: rasterize(means, scales, quats, opac, feat, affine,
                                  bg, W, H, CFG))()
 CFG_FUSED = RasterizeConfig(
-    tile_capacity=KCAP, tile_chunk=64, max_tiles_per_gaussian=TCAP,
+    tile_capacity=KCAP, tile_chunk=KCHUNK, max_tiles_per_gaussian=TCAP,
     binning_mode="fused",
 )
 

@@ -119,3 +119,47 @@ def test_point_cloud_roundtrip(tmp_path):
     x2, r2 = ply.read_point_cloud(path)
     np.testing.assert_allclose(x2, xyz, rtol=1e-6)
     assert np.abs(r2 - rgb).max() < 1.0 / 255.0 + 1e-6
+
+
+def test_cov2d_direct_matches_composed():
+    """compute_cov2d_direct (fused scalar-column path) == build_cov3d +
+    compute_cov2d, values and gradients, incl. unnormalized quats."""
+    import jax
+    import jax.numpy as jnp
+
+    from eogs2_tpu.ops.gaussians import build_cov3d
+    from eogs2_tpu.ops.projection import compute_cov2d, compute_cov2d_direct
+
+    rng = np.random.RandomState(11)
+    n = 257
+    scales = jnp.asarray(np.exp(rng.normal(-3, 0.5, (n, 3))).astype(np.float32))
+    quats = jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32))  # raw
+    affine = jnp.asarray(
+        np.array([[1.0, 0.05, 0.3, 0.0], [0.02, 1.0, -0.2, 0.0],
+                  [0.0, 0.0, 1.0, 0.0]], np.float32)
+    )
+    w = h = 96
+
+    def composed(s, q, a):
+        return compute_cov2d(build_cov3d(s, q), a, w, h)
+
+    c1 = composed(scales, quats, affine)
+    c2 = compute_cov2d_direct(scales, quats, affine, w, h)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               atol=1e-5, rtol=1e-5)
+
+    wts = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+
+    def loss1(s, q, a):
+        return jnp.sum(wts * composed(s, q, a))
+
+    def loss2(s, q, a):
+        return jnp.sum(wts * compute_cov2d_direct(s, q, a, w, h))
+
+    g1 = jax.grad(loss1, argnums=(0, 1, 2))(scales, quats, affine)
+    g2 = jax.grad(loss2, argnums=(0, 1, 2))(scales, quats, affine)
+    for a_, b_ in zip(g1, g2):
+        scale = np.abs(np.asarray(a_)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(a_) / scale,
+                                   np.asarray(b_) / scale,
+                                   atol=1e-5)
