@@ -12,8 +12,15 @@ Parity target: ``tsdf.py`` (RangeImageEOGS + TSDFVolume):
     (tsdf.py:530-600).
 
 Everything is pure jnp over a fixed [Nx,Ny,Nz] voxel grid; the whole
-integrate loop is a lax.fori over stacked view tensors, so it jits once and
-can be sharded over voxel slabs on a mesh.
+integrate loop is a lax.fori over stacked view tensors, so it jits once.
+
+Multi-chip: pass ``mesh=`` to ``TSDFVolume`` (or ``--n-devices`` on the
+``tsdf`` CLI) and the integration loop — the expensive part, O(V * Nvox)
+SDF samples — runs with the flat voxel axis sharded over the mesh's first
+axis. Integration is elementwise over voxels with per-view images
+replicated, so no collectives are needed beyond the final gather; results
+are exactly the single-chip numbers (the flat axis is padded to a device
+multiple and the pad rows dropped after).
 
 NOTE the reference uses a pixel-center UV convention here —
 (idx + 0.5)/size * 2 - 1 — that differs from the rasterizer's ndc2Pix; we
@@ -114,10 +121,12 @@ def sample_sdf(coef, inter, altitude, weights_img, world_pts, model_scale):
 
 class TSDFVolume:
     def __init__(self, vol_bounds: np.ndarray, vox_size: float,
-                 trunc_margin_fact: float):
-        """vol_bounds [3,2] in meters (already scaled)."""
+                 trunc_margin_fact: float, mesh=None):
+        """vol_bounds [3,2] in meters (already scaled); optional
+        jax.sharding.Mesh to shard integration over voxel slabs."""
         self.vox_size = float(vox_size)
         self.trunc = trunc_margin_fact * vox_size
+        self.mesh = mesh
         vb = np.asarray(vol_bounds, np.float64)
         nvox = np.ceil((vb[:, 1] - vb[:, 0]) // vox_size + 1).astype(int)
         self.shape = tuple(int(x) for x in nvox)
@@ -134,11 +143,39 @@ class TSDFVolume:
         self.weight = jnp.zeros(self.shape, jnp.float32)
 
     def integrate_views(self, views: TsdfViews, model_scale: float):
-        """Fused integration of all views (lax.fori over the view axis)."""
-        self.tsdf, self.weight = _integrate_all(
-            views, self.world_coords, self.tsdf, self.weight,
-            jnp.float32(model_scale), self.trunc,
+        """Fused integration of all views (lax.fori over the view axis).
+
+        With ``mesh`` set, the flat voxel axis is sharded over the mesh's
+        first axis (pad to a device multiple, drop the pad after) — exact
+        single-chip numbers, V*Nvox work split across chips."""
+        n = self.world_coords.shape[0]
+        tsdf_f = self.tsdf.reshape(-1)
+        weight_f = self.weight.reshape(-1)
+        wc = self.world_coords
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            ndev = self.mesh.size
+            pad = (-n) % ndev
+            if pad:
+                tsdf_f = jnp.concatenate([tsdf_f, jnp.ones((pad,), tsdf_f.dtype)])
+                weight_f = jnp.concatenate(
+                    [weight_f, jnp.zeros((pad,), weight_f.dtype)]
+                )
+                wc = jnp.concatenate(
+                    [wc, jnp.broadcast_to(wc[-1:], (pad, 3))]
+                )
+            slab = NamedSharding(self.mesh, PartitionSpec(self.mesh.axis_names[0]))
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            tsdf_f = jax.device_put(tsdf_f, slab)
+            weight_f = jax.device_put(weight_f, slab)
+            wc = jax.device_put(wc, slab)
+            views = jax.tree.map(lambda x: jax.device_put(x, rep), views)
+        tsdf_f, weight_f = _integrate_all(
+            views, wc, tsdf_f, weight_f, jnp.float32(model_scale), self.trunc
         )
+        self.tsdf = tsdf_f[:n].reshape(self.shape)
+        self.weight = weight_f[:n].reshape(self.shape)
 
     def apply_prior(self):
         self.tsdf, self.weight = _apply_prior(self.tsdf, self.weight)
@@ -236,15 +273,17 @@ def run_tsdf(
     trunc_margin_fact: float = 4.0,
     resolution: float = 0.5,
     export_mesh_path: str | None = None,
+    mesh=None,
 ):
     """Full TSDF pipeline on in-memory altitude maps {view_name: (coef,
-    inter, altitude[H,W])}. Returns (profile, dsm)."""
+    inter, altitude[H,W])}. Returns (profile, dsm). ``mesh`` shards the
+    integration over voxel slabs (see TSDFVolume)."""
     from eogs2_tpu.eval.dsm import flatten_cloud
     from eogs2_tpu.io.geotiff import Affine
 
     vol_bounds = np.stack([np.asarray(min_world), np.asarray(max_world)], axis=1)
     vol_bounds = vol_bounds * model_scale
-    vol = TSDFVolume(vol_bounds, vox_size, trunc_margin_fact)
+    vol = TSDFVolume(vol_bounds, vox_size, trunc_margin_fact, mesh=mesh)
     coefs, inters, alts = [], [], []
     for name, (coef, inter, alt) in altitude_maps.items():
         coefs.append(coef)
@@ -322,12 +361,18 @@ def run_tsdf_cli(args):
         os.path.join(out_dir, "output_mesh.obj")
         if getattr(args, "export_mesh", False) else None
     )
+    device_mesh = None
+    if getattr(args, "n_devices", 1) > 1:
+        from eogs2_tpu.parallel.mesh import make_mesh
+
+        device_mesh = make_mesh(args.n_devices, axes=("g",))
     profile, dsm = run_tsdf(
         args.scene_dir, maps, md0["scale"], md0["min_world"], md0["max_world"],
         md0["center"], vox_size=args.vox_size,
         trunc_margin_fact=args.trunc_margin_fact,
         resolution=0.3 if "IARPA" in args.scene_dir else 0.5,
         export_mesh_path=mesh_path,
+        mesh=device_mesh,
     )
     write_geotiff(os.path.join(out_dir, "dsm.tif"), dsm.astype(np.float32),
                   transform=profile["transform"])

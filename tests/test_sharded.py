@@ -130,3 +130,42 @@ def test_sharded_trainer_dp_views(tmp_path):
     losses = [m["loss"] for m in tr.metrics_history]
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
     assert len(tr.state.params.xyz.sharding.device_set) == 8
+
+
+def test_sharded_tsdf_matches_single(mesh):
+    """TSDF integration sharded over voxel slabs == single-device, exactly
+    (the flat voxel axis is padded to a device multiple and unpadded)."""
+    from eogs2_tpu.data.synthetic import _heightfield, _render_view, make_affine
+    from eogs2_tpu.eval.tsdf import TSDFVolume, TsdfViews
+
+    rng = np.random.RandomState(5)
+    alt_range = (-0.35, 0.35)
+    z, tex = _heightfield(48, 2, rng, alt_range)
+    sun_dir = np.array([0.3, 0.2, 0.9])
+    coefs, inters, alts = [], [], []
+    for shear in [(0.0, 0.0), (0.2, 0.0), (0.0, 0.2)]:
+        A = make_affine(shear, 32, 32, alt_range)
+        _, surf_alt = _render_view(z, tex, A, sun_dir, 32, 32,
+                                   alt_range=alt_range, n_steps=48)
+        coefs.append(A[:, :3])
+        inters.append(A[:, 3])
+        alts.append(surf_alt)
+    views = TsdfViews(
+        coefs=jnp.asarray(np.stack(coefs), jnp.float32),
+        inters=jnp.asarray(np.stack(inters), jnp.float32),
+        altitudes=jnp.asarray(np.stack(alts), jnp.float32),
+    )
+    scale = 10.0
+    vb = np.array([[-8.5, 8.5], [-8.5, 8.5],
+                   [alt_range[0] * scale, alt_range[1] * scale]])
+    ref = TSDFVolume(vb, 0.5, 4.0)
+    ref.integrate_views(views, scale)
+    ref.apply_prior()
+    sh = TSDFVolume(vb, 0.5, 4.0, mesh=mesh)
+    assert np.prod(sh.shape) % mesh.size != 0  # pad path exercised
+    sh.integrate_views(views, scale)
+    sh.apply_prior()
+    np.testing.assert_allclose(np.asarray(sh.tsdf), np.asarray(ref.tsdf),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sh.weight), np.asarray(ref.weight),
+                               atol=1e-6)
