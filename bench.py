@@ -55,9 +55,12 @@ def main():
     # Trainer's capacity auto-rebucketing converges to exactly this); the
     # emission table is N*tcap rows, so the tight bound halves the pair
     # sort + backward gather vs tcap=8 (52ms vs 76ms fwd+bwd measured).
+    # fused = ragged sort-carried blend with scalar-prefetch DMA windows (no
+    # dense [T,K,F] gather in either direction); with the roll-based scans it
+    # beats 'sorted' at tight capacities too (33.5 vs 37.8 ms fwd+bwd here).
     cfg = RasterizeConfig(
         tile_capacity=512, tile_chunk=64, max_tiles_per_gaussian=4,
-        binning_mode="sorted", use_pallas=True,
+        binning_mode="fused",
     )
 
     def loss(means, scales, quats, opac, feat, affine, bg):

@@ -338,8 +338,7 @@ def build_parser():
     sp.add_argument("--vox-size", type=float, default=0.5)
     sp.add_argument("--trunc-margin-fact", type=float, default=4.0)
     sp.add_argument("--export-mesh", action="store_true")
-    sp.add_argument("--n-devices", type=int, default=1,
-                    help="shard TSDF integration over voxel slabs")
+    # --n-devices (from common()) shards TSDF integration over voxel slabs
     sp.set_defaults(fn=cmd_tsdf)
 
     sp = sub.add_parser("make-synthetic")

@@ -4,10 +4,12 @@ Same math as ops/blend.py (which remains the interpretable reference and the
 CPU path), but fused into single kernels so the [tiles, P, K] intermediates
 (alpha, transmittance, suffix sums) never touch HBM:
 
-  * prefix/suffix scans run as triangular matmuls on the MXU, chunked along
-    K with running carries; chunks iterate via lax.fori_loop so Mosaic
-    reuses one chunk's worth of VMEM (a python-unrolled loop kept every
-    chunk's intermediates live and OOM'd VMEM at K=1536);
+  * prefix/suffix scans run as log-depth roll+add (Hillis-Steele) on the
+    VPU (_scan_incl) — exact f32, ~5x cheaper than the Precision.HIGHEST
+    triangular matmuls they replaced — chunked along K with running
+    carries; chunks iterate via lax.fori_loop so Mosaic reuses one chunk's
+    worth of VMEM (a python-unrolled loop kept every chunk's intermediates
+    live and OOM'd VMEM at K=1536);
   * the per-pair data arrives packed as one [T, 16, K] array (lane dim = K,
     128-aligned) and is sliced per chunk directly from the ref;
   * tile origins derive from program_id (grid_x static) — no side inputs;
@@ -24,8 +26,8 @@ because transmittance is monotone decreasing, the live set is a prefix, so
 transmittance is reconstructed from final_t by dividing out later pairs'
 (1-alpha) (as suffix log-sums via reversed triangular matmuls), and the
 color suffix accumulates in the same reverse walk.
-All dots run at Precision.HIGHEST: bf16 matmul quantization in the
-log-transmittance prefix sums measurably corrupts training (DESIGN.md #6).
+The remaining dots (feature compositing) run at Precision.HIGHEST: bf16
+matmul quantization measurably corrupts training (DESIGN.md #6).
 """
 
 from __future__ import annotations
@@ -100,6 +102,28 @@ def _tri(kc):
     return (r <= c).astype(jnp.float32)
 
 
+def _scan_incl(x, interpret: bool):
+    """Inclusive prefix sum along lanes (last axis).
+
+    TPU: log-depth Hillis-Steele via pltpu.roll — exact f32 adds on the VPU.
+    Measured vs the [P,kc]@[kc,kc] triangular matmul it replaces: the matmul
+    runs at Precision.HIGHEST (bf16 passes corrupt log-transmittance sums,
+    DESIGN.md #6) and costs ~2-4 ms per pass at K=512/1024 tiles, while the
+    roll scan is ~0.5 ms and needs no precision workaround. Interpret mode
+    (CPU tests) uses jnp.cumsum (pltpu.roll has no interpret lowering).
+    """
+    if interpret:
+        return jnp.cumsum(x, axis=-1)
+    kc = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    s = 1
+    while s < kc:
+        shifted = pltpu.roll(x, s, x.ndim - 1)
+        x = jnp.where(lane >= s, x + shifted, x)
+        s *= 2
+    return x
+
+
 def _origin(grid_x):
     i = pl.program_id(0)
     ox = ((i % grid_x) * TILE).astype(jnp.float32)
@@ -107,17 +131,14 @@ def _origin(grid_x):
     return ox, oy
 
 
-def _fwd_kernel(data_ref, out_ref, *, k_chunk, n_chunks, grid_x):
+def _fwd_kernel(data_ref, out_ref, *, k_chunk, n_chunks, grid_x, interpret):
     ox, oy = _origin(grid_x)
-    tri = _tri(k_chunk)
 
     def body(c, carry):
         acc, carry_raw, carry_live, carry_n = carry
         alpha, _, _, _, _ = _alpha_chunk(data_ref, c, k_chunk, ox, oy)
         logs = jnp.log1p(-alpha)
-        s_incl = carry_raw + jnp.dot(
-            logs, tri, preferred_element_type=jnp.float32, precision=HI
-        )
+        s_incl = carry_raw + _scan_incl(logs, interpret)
         cp = jnp.exp(s_incl)
         live = cp >= T_EPS
         t_before = cp / (1.0 - alpha)
@@ -154,7 +175,8 @@ def blend_forward_pallas(data, grid_x: int, k_chunk: int = 512,
     t, nf, k = data.shape
     assert nf == NF and k % k_chunk == 0, (nf, k, k_chunk)
     kernel = functools.partial(
-        _fwd_kernel, k_chunk=k_chunk, n_chunks=k // k_chunk, grid_x=grid_x
+        _fwd_kernel, k_chunk=k_chunk, n_chunks=k // k_chunk, grid_x=grid_x,
+        interpret=interpret,
     )
     return pl.pallas_call(
         kernel,
@@ -169,23 +191,18 @@ def blend_forward_pallas(data, grid_x: int, k_chunk: int = 512,
     )(data)
 
 
-def _tri_strict_after(kc):
-    """U[i,j] = 1 iff i > j: (x @ U)[:, j] = sum_{i>j} x[:, i]."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 1)
-    return (r > c).astype(jnp.float32)
-
-
-def _bwd_kernel(data_ref, gout_ref, gdata_ref, *, k_chunk, n_chunks, grid_x):
+def _bwd_kernel(data_ref, gout_ref, gdata_ref, *, k_chunk, n_chunks, grid_x,
+                interpret):
     """Single back-to-front pass (CUDA backward.cu:457-643 strategy).
 
     gout channels: 0..4 pixel grads, 5 dL/dfinal_t (background term folded
     in), 6 final_t, 7 n_contrib. Per-pair transmittance is reconstructed
     from final_t by dividing out the (1-alpha) of every LATER live pair
     (suffix log-sum); the live set is exactly {pair index < n_contrib}.
+    Strict-after suffix sums are (chunk total − inclusive scan), with the
+    scans running as roll-based VPU prefix sums (_scan_incl).
     """
     ox, oy = _origin(grid_x)
-    triu = _tri_strict_after(k_chunk)
     g_pix = gout_ref[0, :, :5]
     g_ft = gout_ref[0, :, 5:6]
     final_t = gout_ref[0, :, 6:7]
@@ -202,9 +219,9 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, *, k_chunk, n_chunks, grid_x):
         livem = (c * k_chunk + kidx).astype(jnp.float32) < n_contrib  # [P,Kc]
         logs = jnp.where(livem, jnp.log1p(-alpha), 0.0)
         # sum of live logs strictly after j (this chunk) + later chunks
-        s_after = carry_s + jnp.dot(
-            logs, triu, preferred_element_type=jnp.float32, precision=HI
-        )
+        incl_logs = _scan_incl(logs, interpret)
+        logs_total = incl_logs[:, -1:]
+        s_after = carry_s + (logs_total - incl_logs)
         cp = jnp.exp(log_ft - s_after)  # inclusive transmittance at j
         t_before = cp / one_minus
         w = jnp.where(livem, alpha * t_before, 0.0)
@@ -212,9 +229,9 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, *, k_chunk, n_chunks, grid_x):
         fdot = jnp.dot(g_pix, featc, preferred_element_type=jnp.float32,
                        precision=HI)
         contrib = w * fdot
-        suffix = carry_suffix + jnp.dot(
-            contrib, triu, preferred_element_type=jnp.float32, precision=HI
-        )
+        incl_contrib = _scan_incl(contrib, interpret)
+        contrib_total = incl_contrib[:, -1:]
+        suffix = carry_suffix + (contrib_total - incl_contrib)
         g_alpha = fdot * t_before - (suffix + final_t * g_ft) / one_minus
         g_alpha = jnp.where(livem & keep, g_alpha, 0.0)
 
@@ -243,8 +260,8 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, *, k_chunk, n_chunks, grid_x):
             axis=0,
         )  # [NF,Kc]
         gdata_ref[0, :, sl] = gchunk
-        carry_s = carry_s + jnp.sum(logs, axis=-1, keepdims=True)
-        carry_suffix = carry_suffix + jnp.sum(contrib, axis=-1, keepdims=True)
+        carry_s = carry_s + logs_total
+        carry_suffix = carry_suffix + contrib_total
         return carry_s, carry_suffix
 
     jax.lax.fori_loop(
@@ -258,7 +275,8 @@ def blend_backward_pallas(data, gout, grid_x: int, k_chunk: int = 512,
                           interpret: bool = False):
     t, nf, k = data.shape
     kernel = functools.partial(
-        _bwd_kernel, k_chunk=k_chunk, n_chunks=k // k_chunk, grid_x=grid_x
+        _bwd_kernel, k_chunk=k_chunk, n_chunks=k // k_chunk, grid_x=grid_x,
+        interpret=interpret,
     )
     return pl.pallas_call(
         kernel,

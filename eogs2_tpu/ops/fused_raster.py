@@ -48,11 +48,22 @@ NFF = 128
 HI = jax.lax.Precision.HIGHEST
 
 
-def _tri(kc):
-    r = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (kc, kc), 1)
-    # prefix along the K (sublane) dim: out[k] = sum_{j<=k} in[j]
-    return (r <= c).astype(jnp.float32).T
+def _scan_incl_sub(x, interpret: bool):
+    """Inclusive prefix sum along SUBLANES (axis 0) of a [Kc, P] block.
+
+    Same log-depth roll+add strategy as blend_pallas._scan_incl (exact f32
+    VPU adds, ~5x cheaper than the Precision.HIGHEST triangular matmul it
+    replaced); interpret mode (CPU tests) uses jnp.cumsum."""
+    if interpret:
+        return jnp.cumsum(x, axis=0)
+    kc = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    s = 1
+    while s < kc:
+        shifted = pltpu.roll(x, s, 0)
+        x = jnp.where(row >= s, x + shifted, x)
+        s *= 2
+    return x
 
 
 def _chunk_fields(scratch, c, k_chunk, cnt, ox, oy):
@@ -91,7 +102,7 @@ def _origin(grid_x):
 
 
 def _fwd_kernel(tstart_ref, cnt_ref, pay_hbm, out_ref, scratch, sem,
-                *, k_cap, k_chunk, grid_x):
+                *, k_cap, k_chunk, grid_x, interpret):
     t = pl.program_id(0)
     start = tstart_ref[t]
     cnt = jnp.minimum(cnt_ref[t], k_cap)
@@ -105,7 +116,6 @@ def _fwd_kernel(tstart_ref, cnt_ref, pay_hbm, out_ref, scratch, sem,
     rowid = jax.lax.broadcasted_iota(jnp.int32, (k_cap, 1), 0)
     scratch[:, :] = jnp.where(rowid < cnt, scratch[:, :], 0.0)
     ox, oy = _origin(grid_x)
-    tri = _tri(k_chunk)
     n_chunks = jax.lax.div(cnt + (k_chunk - 1), k_chunk)
 
     def body(c, carry):
@@ -114,9 +124,7 @@ def _fwd_kernel(tstart_ref, cnt_ref, pay_hbm, out_ref, scratch, sem,
             scratch, c, k_chunk, cnt, ox, oy
         )
         logs = jnp.log1p(-alpha)  # [Kc, P]
-        s_incl = carry_raw + jnp.dot(
-            tri, logs, preferred_element_type=jnp.float32, precision=HI
-        )
+        s_incl = carry_raw + _scan_incl_sub(logs, interpret)
         cp = jnp.exp(s_incl)
         live = cp >= T_EPS
         t_before = cp / (1.0 - alpha)
@@ -141,7 +149,8 @@ def _fwd_kernel(tstart_ref, cnt_ref, pay_hbm, out_ref, scratch, sem,
 
 
 def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, gpay_hbm,
-                scratch, gscratch, sem, gsem, *, k_cap, k_chunk, grid_x):
+                scratch, gscratch, sem, gsem, *, k_cap, k_chunk, grid_x,
+                interpret):
     t = pl.program_id(0)
     start = tstart_ref[t]
     cnt = jnp.minimum(cnt_ref[t], k_cap)
@@ -153,7 +162,6 @@ def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, gpay_hbm,
     rowid = jax.lax.broadcasted_iota(jnp.int32, (k_cap, 1), 0)
     scratch[:, :] = jnp.where(rowid < cnt, scratch[:, :], 0.0)
     ox, oy = _origin(grid_x)
-    tri = _tri(k_chunk)
     n_chunks = jax.lax.div(cnt + (k_chunk - 1), k_chunk)
     g_pix = gout_ref[0, :, :5]  # [P, 5]
     g_ft = gout_ref[0, :, 5:6].T  # [1, P]
@@ -165,9 +173,7 @@ def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, gpay_hbm,
             scratch, c, k_chunk, cnt, ox, oy
         )
         logs = jnp.log1p(-alpha)
-        s_incl = carry_raw + jnp.dot(
-            tri, logs, preferred_element_type=jnp.float32, precision=HI
-        )
+        s_incl = carry_raw + _scan_incl_sub(logs, interpret)
         cp = jnp.exp(s_incl)
         live = cp >= T_EPS
         w = jnp.where(live, alpha * cp / (1.0 - alpha), 0.0)
@@ -198,9 +204,7 @@ def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, gpay_hbm,
         )
         one_minus = 1.0 - alpha
         logs = jnp.log1p(-alpha)
-        s_incl = carry_raw + jnp.dot(
-            tri, logs, preferred_element_type=jnp.float32, precision=HI
-        )
+        s_incl = carry_raw + _scan_incl_sub(logs, interpret)
         cp = jnp.exp(s_incl)
         live = cp >= T_EPS
         t_before = cp / one_minus
@@ -210,9 +214,7 @@ def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, gpay_hbm,
             preferred_element_type=jnp.float32, precision=HI,
         )  # [Kc, P]
         contrib = w * fdot
-        prefix_inc = prefix + jnp.dot(
-            tri, contrib, preferred_element_type=jnp.float32, precision=HI
-        )
+        prefix_inc = prefix + _scan_incl_sub(contrib, interpret)
         suffix = total - prefix_inc
         g_alpha = fdot * t_before - (suffix + final_t * g_ft) / one_minus
         g_alpha = jnp.where(live & keep, g_alpha, 0.0)  # [Kc, P]
@@ -252,7 +254,8 @@ def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, gpay_hbm,
 def _fused_fwd_call(pay_pad, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
                     interpret):
     kernel = functools.partial(
-        _fwd_kernel, k_cap=k_cap, k_chunk=k_chunk, grid_x=grid_x
+        _fwd_kernel, k_cap=k_cap, k_chunk=k_chunk, grid_x=grid_x,
+        interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -277,7 +280,8 @@ def _fused_fwd_call(pay_pad, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
 def _fused_bwd_call(pay_pad, gout, tstart, cnt, n_tiles, k_cap, k_chunk,
                     grid_x, interpret):
     kernel = functools.partial(
-        _bwd_kernel, k_cap=k_cap, k_chunk=k_chunk, grid_x=grid_x
+        _bwd_kernel, k_cap=k_cap, k_chunk=k_chunk, grid_x=grid_x,
+        interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

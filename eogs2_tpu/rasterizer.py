@@ -71,19 +71,22 @@ class RasterizeConfig:
         )
 
 
-def _pick_k_chunk(tile_capacity: int) -> int:
-    """K-chunk for the Pallas blend kernels: prefer 128.
+def _pick_k_chunk(tile_capacity: int, scan_is_matmul: bool = False) -> int:
+    """K-chunk for the Pallas kernels.
 
-    The scan cost inside the kernels is LINEAR in the chunk width (each
-    chunk does a [P,kc]@[kc,kc] triangular matmul + carry), so small chunks
-    win: measured fwd 8.3->6.6 ms and bwd 14.8->9.1 ms at K=512 going
-    512->128 on the target chip. 64-wide tri matmuls fail to lower in
-    Mosaic, so 64 stays a last resort for tiny capacities (interpret/CPU
-    handles it fine).
+    Two regimes, both measured on the target chip at K=512/1024 tiles:
+      * tri-matmul scans (fused_raster): cost is LINEAR in chunk width
+        ([P,kc]@[kc,kc] per chunk), so prefer SMALL chunks — 128 took
+        fwd 8.3->6.6 ms and bwd 14.8->9.1 ms vs 512. 64-wide tri matmuls
+        fail to lower in Mosaic, so 64 is a last resort (CPU interpret
+        handles it).
+      * roll-based scans (blend_pallas._scan_incl): total roll steps are
+        (K/kc)*log2(kc), so prefer LARGE chunks — kc=512 measured 6.2 ms
+        fwd vs 7.9 ms at kc=128.
     """
+    order = (128, 256, 384, 512, 64) if scan_is_matmul else (512, 384, 256, 128, 64)
     return next(
-        d for d in (128, 256, 384, 512, 64, tile_capacity)
-        if tile_capacity % d == 0
+        d for d in order + (tile_capacity,) if tile_capacity % d == 0
     )
 
 
@@ -154,7 +157,7 @@ def rasterize(
         # table (ops/fused_raster.py); interpret mode on CPU
         from eogs2_tpu.ops.fused_raster import rasterize_fused
 
-        k_chunk = _pick_k_chunk(config.tile_capacity)
+        k_chunk = _pick_k_chunk(config.tile_capacity, scan_is_matmul=True)
         fo = rasterize_fused(
             prep, features, width, height,
             tcap=config.max_tiles_per_gaussian,

@@ -128,7 +128,7 @@ def render_sets(args):
                      "shadowmap", "gt", "flowmatched_altitude", "nadir_pov",
                      "sun_pov", "nadirpovsampled", "nadiraltitudesampled",
                      "nadir_altitude_diff", "sunpovsampled",
-                     "flow_matched_image", "gt_flowmatch"):
+                     "flow_matched_image", "gt_flowmatch", "dsm"):
             os.makedirs(os.path.join(base, kind), exist_ok=True)
         for vi, view in enumerate(views):
             if view.is_virtual:
@@ -151,6 +151,20 @@ def render_sets(args):
                           out["shadowmap"])
             if view.image is not None:
                 _save_png(os.path.join(base, "gt", name + ".png"), view.image)
+
+            # per-view DSM (reference writes dsm/<name>.iio for EVERY
+            # rendered view, render_pan.py:401-411, not just Nadir)
+            from eogs2_tpu.eval.dsm import compute_dsm_from_view
+
+            vprofile, vdsm = compute_dsm_from_view(
+                view.camera, jnp.asarray(out["rendered_uva"]),
+                scene.scene_shift, scene.scene_scale,
+            )
+            write_geotiff(
+                os.path.join(base, "dsm", name + ".tif"),
+                np.asarray(vdsm)[:, :, 0].astype(np.float32),
+                transform=vprofile["transform"],
+            )
 
             # nadir-POV render + resample of this view onto the nadir grid
             # (render_pan.py "nadirpov"/"nadirpovsampled"/

@@ -188,13 +188,26 @@ def sweep64():
     data[:, 11, :] = 1.0
     data = jnp.asarray(data)
     gout = jnp.asarray(rng.rand(T, P, 8).astype(np.float32))
-    for kc in (512, 128):
-        time_call(f"fwd hillis kc={kc}", None, data) if False else None
+
+    def pc(kernel):
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[pl.BlockSpec((1, NF, K), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, P, 8), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T, P, 8), jnp.float32),
+        )
+
+    for kc in (512, 256, 128):
+        time_call(f"fwd hillis kc={kc}",
+                  pc(make_fwd_variant(kc, scan="hillis")), data)
     for kc in (128,):
-        time_call(f"prod fwd kc={kc}",
+        time_call(f"prod fwd tri kc={kc}",
                   functools.partial(blend_forward_pallas, grid_x=GRID_X,
                                     k_chunk=kc), data)
-        time_call(f"prod bwd kc={kc}",
+        time_call(f"prod bwd tri kc={kc}",
                   functools.partial(blend_backward_pallas, grid_x=GRID_X,
                                     k_chunk=kc), data, gout)
 
