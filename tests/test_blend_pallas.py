@@ -97,3 +97,26 @@ def test_pallas_backward_chunked():
     np.testing.assert_allclose(gco, g_ref[1], atol=5e-4, rtol=2e-3)
     np.testing.assert_allclose(gop, g_ref[2], atol=5e-4, rtol=2e-3)
     np.testing.assert_allclose(gft, g_ref[3], atol=5e-4, rtol=2e-3)
+
+
+def test_scan_incl_roll_algorithm():
+    """The TPU roll-based scan (_scan_incl non-interpret branch) must equal
+    an inclusive cumsum. pltpu.roll has no CPU lowering, so simulate the
+    identical shift/add/select schedule with jnp.roll outside a kernel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    for p, k in ((8, 128), (4, 512), (2, 384)):
+        x = jnp.asarray(rng.randn(p, k).astype(np.float32))
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        y = x
+        s = 1
+        while s < k:
+            y = jnp.where(lane >= s, y + jnp.roll(y, s, 1), y)
+            s *= 2
+        np.testing.assert_allclose(
+            np.asarray(y), np.cumsum(np.asarray(x), axis=1),
+            rtol=1e-5, atol=1e-4,
+        )
