@@ -667,6 +667,7 @@ class Trainer:
                              "only_one_channel": "only_one_channel",
                              "learned": "learned"}[mode]
         self._steps = {}
+        self._low_occupancy_checks = 0
         self.rng = np.random.RandomState(cfg.seed)
         self.key = jax.random.PRNGKey(cfg.seed)
         self.metrics_history = []
@@ -931,6 +932,43 @@ class Trainer:
                     )
                     self.raster_cfg = grew
                     self._steps = {}
+                    self._low_occupancy_checks = 0
+                else:
+                    # shrink with hysteresis: splats widen transiently (the
+                    # rect cap doubled 16->64 within 100 iters in measured
+                    # runs) but pruning/opacity-reset brings them back, and
+                    # the emission table + pair sort scale with N*tcap and
+                    # the blend with K — a stuck-high bucket is a permanent
+                    # throughput tax. Require 4 consecutive low checks (200
+                    # iters) before halving one bucket; thresholds leave
+                    # ~2x headroom after the shrink so grow/shrink can't
+                    # flap. Recompiles hit the persistent .jax_cache.
+                    low_t = (mt < 0.45 * rc.tile_capacity
+                             and rc.tile_capacity > 128)
+                    low_g = (mtg <= rc.max_tiles_per_gaussian // 2
+                             and rc.max_tiles_per_gaussian > 4)
+                    if low_t or low_g:
+                        self._low_occupancy_checks += 1
+                    else:
+                        self._low_occupancy_checks = 0
+                    if self._low_occupancy_checks >= 4:
+                        shrunk = dataclasses.replace(
+                            rc,
+                            tile_capacity=(rc.tile_capacity // 2
+                                           if low_t else rc.tile_capacity),
+                            max_tiles_per_gaussian=(
+                                rc.max_tiles_per_gaussian // 2
+                                if low_g else rc.max_tiles_per_gaussian),
+                        )
+                        print(
+                            f"[{iteration}] shrinking rasterizer capacities: "
+                            f"K {rc.tile_capacity}->{shrunk.tile_capacity}, "
+                            f"tiles/gauss {rc.max_tiles_per_gaussian}->"
+                            f"{shrunk.max_tiles_per_gaussian}"
+                        )
+                        self.raster_cfg = shrunk
+                        self._steps = {}
+                        self._low_occupancy_checks = 0
 
             self._maintenance(iteration)
 

@@ -1,0 +1,88 @@
+"""Microbench: emission-sort strategies at rasterizer scale.
+
+The fused/sorted binning pipelines pay ONE lax.sort over the emission table
+(~N*tcap rows): 2 f32 keys (tile, depth) + iota + 11 payload columns.
+Candidates to cut it:
+  a) current: 2 keys + iota + 11 payload
+  b) 1 packed f32 key (tile*2^14 + 14-bit quantized depth, exact in f32 for
+     tile < 1024) + iota + 11 payload  — fewer radix passes, ties break by
+     emission order instead of exact depth (parity-affecting, opt-in only)
+  c) 2 keys + iota only (3 columns) — lower bound of a no-payload sort
+  d) 1 int32 key + iota + 11 payload
+
+Usage: ./tpurun.sh python scripts/prof_sort_micro.py [rows]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+N_TILES = 1024
+
+
+def timeit(name, f, *args):
+    @jax.jit
+    def loop(z, *a):
+        def body(i, acc):
+            r = f(a[0] + acc * 1e-30, *a[1:])
+            return acc + r
+        return jax.lax.fori_loop(0, 10, body, jnp.float32(0.0))
+
+    float(loop(jnp.float32(0.0), *args))
+    t0 = time.perf_counter()
+    float(loop(jnp.float32(0.0), *args))
+    dt = (time.perf_counter() - t0) / 10
+    print(f"{name:34s} {dt*1e3:8.2f} ms")
+
+
+def main():
+    rng = np.random.RandomState(0)
+    tile = jnp.asarray(rng.randint(0, N_TILES + 1, ROWS).astype(np.float32))
+    depth = jnp.asarray(rng.rand(ROWS).astype(np.float32))
+    iota = jnp.arange(ROWS, dtype=jnp.int32)
+    pay = [jnp.asarray(rng.rand(ROWS).astype(np.float32)) for _ in range(11)]
+    qdepth = jnp.floor(depth * 16383.0)
+    packed_f = tile * 16384.0 + qdepth  # < 2^24, exact in f32
+    packed_i = (tile.astype(jnp.int32) << 14) | qdepth.astype(jnp.int32)
+
+    print(f"device={jax.devices()[0].platform} rows={ROWS}")
+
+    def s_2key_pay(d, t):
+        out = jax.lax.sort((t, d, iota) + tuple(pay), num_keys=2)
+        return out[2][0].astype(jnp.float32) + out[3][0]
+
+    def s_1keyf_pay(k):
+        out = jax.lax.sort((k, iota) + tuple(pay), num_keys=1)
+        return out[1][0].astype(jnp.float32) + out[2][0]
+
+    def s_1keyi_pay(k0, k):
+        out = jax.lax.sort((k + (k0 * 0).astype(jnp.int32), iota) + tuple(pay),
+                           num_keys=1)
+        return out[1][0].astype(jnp.float32) + out[2][0]
+
+    def s_2key_iota(d, t):
+        out = jax.lax.sort((t, d, iota), num_keys=2)
+        return out[2][0].astype(jnp.float32) + out[1][0]
+
+    timeit("2 f32 keys + 11 payload (current)", s_2key_pay, depth, tile)
+    timeit("1 packed f32 key + 11 payload", s_1keyf_pay, packed_f)
+    timeit("1 packed i32 key + 11 payload", s_1keyi_pay, depth, packed_i)
+    timeit("2 f32 keys + iota only", s_2key_iota, depth, tile)
+
+
+if __name__ == "__main__":
+    main()

@@ -205,3 +205,33 @@ def test_steps_per_dispatch_chunking(scene_dir):
     assert abs(lc - l1) / max(abs(l1), 1e-6) < 0.5
     # both phases were compiled (phase edge at iter 15 was respected)
     assert any(p.enable_sun for p in trc._steps)
+
+
+def test_capacity_shrinks_after_transient(tmp_path):
+    """Auto-rebucketing must come back DOWN once occupancy stays low
+    (4 consecutive 50-iter checks): start with oversized buckets and train
+    250+ iterations on the tiny scene."""
+    import os
+
+    from eogs2_tpu.config import baseogs
+    from eogs2_tpu.data.synthetic import generate_scene
+    from eogs2_tpu.rasterizer import RasterizeConfig
+    from eogs2_tpu.scene import load_scene
+    from eogs2_tpu.train import Trainer
+
+    d = str(tmp_path / "scene")
+    generate_scene(d, n_views=3, width=48, height=48, hf_res=64,
+                   n_buildings=2, scale=8.0, seed=2)
+    scene = load_scene(d, images_msi_path=os.path.join(d, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(d, iterations=260)
+    cfg.optimization.iterstart_shadowmapping = 10_000  # keep it cheap
+    cfg.optimization.iterstart_L_new_resample = 10_000
+    cfg.optimization.densify_until_iter = 0
+    rcfg = RasterizeConfig(pair_capacity=1 << 16, tile_capacity=512,
+                           tile_chunk=16, max_tiles_per_gaussian=64)
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg).setup()
+    tr.train(progress=False)
+    assert tr.raster_cfg.max_tiles_per_gaussian < 64 or \
+        tr.raster_cfg.tile_capacity < 512, (
+            tr.raster_cfg.max_tiles_per_gaussian, tr.raster_cfg.tile_capacity)
