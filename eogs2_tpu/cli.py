@@ -99,6 +99,8 @@ def cmd_train(args):
     )
     if args.opacity_init and args.opacity_init != "auto":
         cfg.model.opacity_init_value = float(args.opacity_init)
+    if args.views_per_step:
+        cfg.optimization.views_per_step = args.views_per_step
     mesh = None
     if args.n_devices > 1:
         # multi-chip training: shard the Gaussian state over a "g" mesh axis
@@ -302,6 +304,9 @@ def build_parser():
         sp.add_argument("--checkpoint-every", type=int, default=0)
         sp.add_argument("--n-devices", type=int, default=1)
         sp.add_argument("--steps-per-dispatch", type=int, default=1)
+        sp.add_argument("--views-per-step", type=int, default=0,
+                        help="batch N cameras per optimizer step (vmapped "
+                             "renders, summed grads); 0 = preset default")
         sp.add_argument(
             "--raster-mode", default="safe",
             choices=["safe", "fast", "fused"],

@@ -372,9 +372,11 @@ def _fused_bwd(shape_info, tcap, k_chunk, interpret, res, cots):
         pay_pad, g_out8, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
         interpret,
     )
-    # back to emission order: positions -> validity, then the inverse of the
-    # emission->sorted permutation via one 2-int-column sort (see
-    # pair_pipeline._bwd_full)
+    # back to emission order: the kernel wrote gradient rows at SORTED
+    # positions, and src_idx is the emission index of each sorted row, so
+    # ONE payload-carrying sort keyed by src_idx returns every row to its
+    # emission position (measured 3.9 ms vs 5.3 ms for the inverse-
+    # permutation 2-int-col sort + row gather it replaces, 400k rows).
     p = n * tcap
     pos = jnp.arange(p, dtype=jnp.int32)
     tile = sort_tile.astype(jnp.int32)
@@ -382,16 +384,15 @@ def _fused_bwd(shape_info, tcap, k_chunk, interpret, res, cots):
     tile_c = jnp.where(in_range, tile, 0)
     k = pos - jnp.take(tstart, tile_c)
     ok = in_range & (k < k_cap)
-    _, inv = jax.lax.sort((src_idx, pos), num_keys=1)
-    # compact to the 16 used columns BEFORE the row gather — gathering the
-    # full 128-lane padded rows moves 8x the bytes (measured: fused bwd 38ms
-    # vs sorted 7ms at 400k rows until this slice)
-    rows = gpay_pad[:p, :16]
-    # where(), not multiply: rows no tile window wrote are uninitialized and
-    # may hold NaN, which a 0-multiply would propagate
-    g_emission = jnp.where(
-        jnp.take(ok, inv)[:, None], jnp.take(rows, inv, axis=0), 0.0
+    # compact to the 16 used columns BEFORE the sort — moving the full
+    # 128-lane padded rows costs 8x the bytes; where(), not multiply: rows
+    # no tile window wrote are uninitialized and may hold NaN, which a
+    # 0-multiply would propagate
+    rows = jnp.where(ok[:, None], gpay_pad[:p, :16], 0.0)
+    sorted_out = jax.lax.sort(
+        (src_idx,) + tuple(rows[:, j] for j in range(16)), num_keys=1
     )
+    g_emission = jnp.stack(sorted_out[1:], axis=-1)
     g_pay = g_emission.reshape(n, tcap, 16).sum(axis=1)
     zeros_keys = jnp.zeros((p,), jnp.float32)
     return (g_pay[:, :11], zeros_keys, zeros_keys)

@@ -84,5 +84,34 @@ def main():
     timeit("2 f32 keys + iota only", s_2key_iota, depth, tile)
 
 
+
+
+def emission_return():
+    """Compare the VJP emission-return strategies at rasterizer scale:
+    (a) current: 2-int-col sort for the inverse permutation + [rows,16]
+        row gather, (b) ONE payload sort keyed by src_idx carrying the 16
+        gradient columns."""
+    rng = np.random.RandomState(1)
+    src_idx = jnp.asarray(rng.permutation(ROWS).astype(np.int32))
+    pos = jnp.arange(ROWS, dtype=jnp.int32)
+    rows16 = jnp.asarray(rng.rand(ROWS, 16).astype(np.float32))
+
+    def a_inv_gather(r16):
+        _, inv = jax.lax.sort((src_idx, pos), num_keys=1)
+        out = jnp.take(r16, inv, axis=0)
+        return out[0, 0]
+
+    def b_payload_sort(r16):
+        ops = (src_idx,) + tuple(r16[:, j] for j in range(16))
+        out = jax.lax.sort(ops, num_keys=1)
+        return out[1][0]
+
+    timeit("emission-return inv+gather (cur)", a_inv_gather, rows16)
+    timeit("emission-return payload sort", b_payload_sort, rows16)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("EMISSION"):
+        emission_return()
+    else:
+        main()
