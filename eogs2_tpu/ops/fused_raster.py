@@ -148,7 +148,7 @@ def _fwd_kernel(tstart_ref, cnt_ref, pay_hbm, out_ref, scratch, sem,
     )
 
 
-def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, gpay_hbm,
+def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, fwd_ref, gpay_hbm,
                 scratch, gscratch, sem, gsem, *, k_cap, k_chunk, grid_x,
                 interpret):
     t = pl.program_id(0)
@@ -166,37 +166,21 @@ def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, gpay_hbm,
     g_pix = gout_ref[0, :, :5]  # [P, 5]
     g_ft = gout_ref[0, :, 5:6].T  # [1, P]
 
-    # pass 1: total foreground contribution + final_t
-    def body1(c, carry):
-        carry_raw, carry_live, total = carry
-        alpha, _, _, _, _, _, feat = _chunk_fields(
-            scratch, c, k_chunk, cnt, ox, oy
-        )
-        logs = jnp.log1p(-alpha)
-        s_incl = carry_raw + _scan_incl_sub(logs, interpret)
-        cp = jnp.exp(s_incl)
-        live = cp >= T_EPS
-        w = jnp.where(live, alpha * cp / (1.0 - alpha), 0.0)
-        fdot = jax.lax.dot_general(
-            feat, g_pix, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
-        )  # [Kc, P]
-        total = total + jnp.sum(w * fdot, axis=0, keepdims=True)
-        carry_live = carry_live + jnp.sum(
-            jnp.where(live, logs, 0.0), axis=0, keepdims=True
-        )
-        return s_incl[-1:, :], carry_live, total
-
-    _, carry_live, total = jax.lax.fori_loop(
-        0, n_chunks, body1,
-        (jnp.zeros((1, P), jnp.float32), jnp.zeros((1, P), jnp.float32),
-         jnp.zeros((1, P), jnp.float32)),
-    )
-    final_t = jnp.exp(carry_live)  # [1, P]
+    # The old pass 1 recomputed total = sum_i w_i * (feat_i . g_pix) and
+    # final_t with a full extra walk over the pairs. Both come for free from
+    # the SAVED forward output: by linearity total = acc . g_pix (acc is the
+    # forward's pre-background 5-channel accumulation, fwd_ref[..., :5]),
+    # and final_t was stored at channel 5.
+    final_t = fwd_ref[0, :, 5:6].T  # [1, P]
+    total = jnp.sum(
+        fwd_ref[0, :, :5] * g_pix, axis=1, keepdims=True
+    ).T  # [1, P]
 
     gscratch[:, :] = jnp.zeros((k_cap, NFF), jnp.float32)
 
-    # pass 2: per-pair gradients, written back at the chunk's rows
+    # single pass: per-pair gradients, written back at the chunk's rows
+    # (suffix sums via total - inclusive prefix; liveness recomputed from
+    # the front-to-back transmittance scan this pass already performs)
     def body2(c, carry):
         carry_raw, prefix = carry
         alpha, g, dx, dy, keep, (ca, cb, cc, op), feat = _chunk_fields(
@@ -277,8 +261,8 @@ def _fused_fwd_call(pay_pad, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
     )(tstart, cnt, pay_pad)
 
 
-def _fused_bwd_call(pay_pad, gout, tstart, cnt, n_tiles, k_cap, k_chunk,
-                    grid_x, interpret):
+def _fused_bwd_call(pay_pad, gout, out8, tstart, cnt, n_tiles, k_cap,
+                    k_chunk, grid_x, interpret):
     kernel = functools.partial(
         _bwd_kernel, k_cap=k_cap, k_chunk=k_chunk, grid_x=grid_x,
         interpret=interpret,
@@ -288,6 +272,9 @@ def _fused_bwd_call(pay_pad, gout, tstart, cnt, n_tiles, k_cap, k_chunk,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, P, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (1, P, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -305,7 +292,7 @@ def _fused_bwd_call(pay_pad, gout, tstart, cnt, n_tiles, k_cap, k_chunk,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(pay_pad.shape, jnp.float32),
         interpret=interpret,
-    )(tstart, cnt, pay_pad, gout)
+    )(tstart, cnt, pay_pad, gout, out8)
 
 
 class FusedOut(NamedTuple):
@@ -318,39 +305,54 @@ class FusedOut(NamedTuple):
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
 )
-def _fused_sorted_blend(pay, tile_tab, depth_tab, shape_info, tcap, k_chunk,
-                        interpret):
-    out, _ = _fused_fwd(pay, tile_tab, depth_tab, shape_info, tcap, k_chunk,
-                        interpret)
+def _fused_sorted_blend(pay_cols, tile_tab, depth_tab, shape_info, tcap,
+                        k_chunk, interpret):
+    out, _ = _fused_fwd(pay_cols, tile_tab, depth_tab, shape_info, tcap,
+                        k_chunk, interpret)
     return out
 
 
-def _sort_and_range(pay, tile_tab, depth_tab, n_tiles, tcap):
+def _sort_and_range(pay_cols, tile_tab, depth_tab, n_tiles, tcap):
+    """Column-oriented emission sort.
+
+    pay_cols is a tuple of [N] 1-D payload columns. Everything stays 1-D
+    through the sort: [N,k] (k<128) arrays on TPU pad their minor dim to the
+    128-lane tile in HBM, so the old row-form pipeline (concat [N,11] ->
+    broadcast [P,11] -> sort -> stack [P,11]) moved ~8x the bytes of the
+    payload it carried. Only the kernel's [rows, NFF] DMA source is ever
+    materialized in padded form, once, in _fused_fwd."""
     p = tile_tab.shape[0]
-    n, f = pay.shape
-    pay_tab = jnp.broadcast_to(pay[:, None, :], (n, tcap, f)).reshape(p, f)
+    n = pay_cols[0].shape[0]
+    tcap_b = p // n
+    em_cols = tuple(
+        jnp.broadcast_to(c[:, None], (n, tcap_b)).reshape(-1)
+        for c in pay_cols
+    )
     iota = jnp.arange(p, dtype=jnp.int32)
-    ops = (tile_tab, depth_tab, iota) + tuple(pay_tab[:, j] for j in range(f))
+    ops = (tile_tab, depth_tab, iota) + em_cols
     sorted_ops = jax.lax.sort(ops, num_keys=2)
     sort_tile = sorted_ops[0]
     src_idx = sorted_ops[2]
-    pay_sorted = jnp.stack(sorted_ops[3:], axis=-1)  # [P, F]
+    sorted_cols = sorted_ops[3:]
     tids = jnp.arange(n_tiles, dtype=jnp.float32)
     tstart = jnp.searchsorted(sort_tile, tids).astype(jnp.int32)
     tend = jnp.searchsorted(sort_tile, tids + 1.0).astype(jnp.int32)
-    return pay_sorted, sort_tile, src_idx, tstart, tend - tstart
+    return sorted_cols, sort_tile, src_idx, tstart, tend - tstart
 
 
-def _fused_fwd(pay, tile_tab, depth_tab, shape_info, tcap, k_chunk,
+def _fused_fwd(pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk,
                interpret):
     n_tiles, k_cap, grid_x = shape_info
-    n, f = pay.shape
-    pay_sorted, sort_tile, src_idx, tstart, cnt = _sort_and_range(
-        pay, tile_tab, depth_tab, n_tiles, tcap
+    n = pay_cols[0].shape[0]
+    f = len(pay_cols)
+    sorted_cols, sort_tile, src_idx, tstart, cnt = _sort_and_range(
+        pay_cols, tile_tab, depth_tab, n_tiles, tcap
     )
-    # pad rows so every [start, start+k_cap) window is in bounds, and pad
-    # the 11 payload columns to the NFF row width
-    pay_pad = jnp.pad(pay_sorted, ((0, k_cap), (0, NFF - f)))
+    p = tile_tab.shape[0]
+    # the ONE padded materialization: [rows, NFF] DMA source for the kernel
+    # (rows padded so every [start, start+k_cap) window is in bounds)
+    pay_pad = jnp.zeros((p + k_cap, NFF), jnp.float32)
+    pay_pad = pay_pad.at[:p, :f].set(jnp.stack(sorted_cols, axis=-1))
     out8 = _fused_fwd_call(
         pay_pad, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x, interpret
     )
@@ -360,16 +362,16 @@ def _fused_fwd(pay, tile_tab, depth_tab, shape_info, tcap, k_chunk,
         num_pairs=jnp.sum(jnp.where(tile_tab < n_tiles, 1, 0)),
         max_tile_count=jnp.max(cnt),
     )
-    res = (pay_pad, sort_tile, src_idx, tstart, cnt, n)
+    res = (pay_pad, out8, sort_tile, src_idx, tstart, cnt, n, f)
     return out, res
 
 
 def _fused_bwd(shape_info, tcap, k_chunk, interpret, res, cots):
     n_tiles, k_cap, grid_x = shape_info
-    pay_pad, sort_tile, src_idx, tstart, cnt, n = res
+    pay_pad, out8, sort_tile, src_idx, tstart, cnt, n, f = res
     g_out8 = cots.out8
     gpay_pad = _fused_bwd_call(
-        pay_pad, g_out8, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
+        pay_pad, g_out8, out8, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
         interpret,
     )
     # back to emission order: the kernel wrote gradient rows at SORTED
@@ -377,25 +379,28 @@ def _fused_bwd(shape_info, tcap, k_chunk, interpret, res, cots):
     # ONE payload-carrying sort keyed by src_idx returns every row to its
     # emission position (measured 3.9 ms vs 5.3 ms for the inverse-
     # permutation 2-int-col sort + row gather it replaces, 400k rows).
-    p = n * tcap
+    p = sort_tile.shape[0]
+    tcap_b = p // n
     pos = jnp.arange(p, dtype=jnp.int32)
     tile = sort_tile.astype(jnp.int32)
     in_range = tile < n_tiles
     tile_c = jnp.where(in_range, tile, 0)
     k = pos - jnp.take(tstart, tile_c)
     ok = in_range & (k < k_cap)
-    # compact to the 16 used columns BEFORE the sort — moving the full
-    # 128-lane padded rows costs 8x the bytes; where(), not multiply: rows
+    # per-column 1-D extraction BEFORE the sort (column form: the padded
+    # [rows, NFF] gradient array is read once, fused with the where; each
+    # sort operand is an unpadded [p] array); where(), not multiply: rows
     # no tile window wrote are uninitialized and may hold NaN, which a
     # 0-multiply would propagate
-    rows = jnp.where(ok[:, None], gpay_pad[:p, :16], 0.0)
-    sorted_out = jax.lax.sort(
-        (src_idx,) + tuple(rows[:, j] for j in range(16)), num_keys=1
+    gcols = tuple(
+        jnp.where(ok, gpay_pad[:p, j], 0.0) for j in range(f)
     )
-    g_emission = jnp.stack(sorted_out[1:], axis=-1)
-    g_pay = g_emission.reshape(n, tcap, 16).sum(axis=1)
+    sorted_out = jax.lax.sort((src_idx,) + gcols, num_keys=1)
+    g_cols = tuple(
+        c.reshape(n, tcap_b).sum(axis=1) for c in sorted_out[1:]
+    )
     zeros_keys = jnp.zeros((p,), jnp.float32)
-    return (g_pay[:, :11], zeros_keys, zeros_keys)
+    return (g_cols, zeros_keys, zeros_keys)
 
 
 _fused_sorted_blend.defvjp(
@@ -418,12 +423,14 @@ def rasterize_fused(
     tile_tab, depth_tab, n_tiles = _emission_keys(
         jax.tree.map(jax.lax.stop_gradient, prep), width, height, tcap
     )
-    pay = jnp.concatenate(
-        [prep.mean2d, prep.conic, prep.opacity[:, None], features], axis=-1
-    )
+    pay_cols = (
+        prep.mean2d[:, 0], prep.mean2d[:, 1],
+        prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+        prep.opacity,
+    ) + tuple(features[:, j] for j in range(features.shape[1]))
     shape_info = (n_tiles, tile_capacity, grid_x)
     out = _fused_sorted_blend(
-        pay, tile_tab, depth_tab, shape_info, tcap, k_chunk, interpret
+        pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk, interpret
     )
     num_pairs = jnp.sum(prep.tiles_touched)
     return out._replace(num_pairs=num_pairs)
