@@ -66,6 +66,7 @@ def _load(args, load_pan=None, load_msi=None):
         load_msi=load_msi if load_msi is not None else True,
         load_pan=load_pan if load_pan is not None else False,
         seed=args.seed,
+        input_ply_name=getattr(args, "input_ply_name", None),
     )
 
 
@@ -199,6 +200,34 @@ def cmd_render(args):
     return render_sets(args)
 
 
+def cmd_video(args):
+    """Orbit fly-around video from a saved model (render_video.py parity)."""
+    _setup_jax()
+    from eogs2_tpu.rasterizer import RasterizeConfig
+    from eogs2_tpu.render_artifacts import load_model, load_shading
+    from eogs2_tpu.video import render_video
+
+    model, it = load_model(args.model_path, args.iteration)
+    shading = load_shading(args.model_path, it)
+    scene = _load(args)
+    base_view = next(
+        (v for v in scene.train_views if not v.is_virtual), scene.train_views[0]
+    )
+    rcfg = RasterizeConfig(
+        pair_capacity=1 << args.log2_pair_capacity,
+        tile_capacity=args.tile_capacity,
+        tile_chunk=args.tile_chunk,
+    )
+    out_path = args.out or os.path.join(args.model_path, "video", "orbit.mp4")
+    written = render_video(
+        model, base_view.camera, rcfg, out_path,
+        n_frames=args.n_frames, fps=args.fps, max_shear=args.max_shear,
+        shading=shading,
+    )
+    print(f"video written to {written}")
+    return 0
+
+
 def cmd_eval_dsm(args):
     from eogs2_tpu.eval.mae import MaeComputer
 
@@ -295,6 +324,9 @@ def build_parser():
         sp.add_argument("--seed", type=int, default=1337)
         sp.add_argument("--need-rescale", action="store_true")
         sp.add_argument("--target-density", type=float, default=0.13)
+        sp.add_argument("--input-ply-name", default=None,
+                        help="init gaussians from <scene>/<name>.ply instead "
+                             "of the uniform cloud (dataset_MS_affine.py:116-121)")
         sp.add_argument("--log2-pair-capacity", type=int, default=20)
         sp.add_argument("--tile-capacity", type=int, default=1024)
         sp.add_argument("--tile-chunk", type=int, default=64)
@@ -318,14 +350,26 @@ def build_parser():
             help="'auto' calibrates so mean acc-opacity ~0.999 at iter 1 "
                  "(the reference's empirical table, automated), or a float",
         )
+        sp.add_argument("--random-pov", action="store_true",
+                        help="also write random-camera resample artifacts "
+                             "(render_pan.py:241-272)")
+        sp.add_argument("--random-pov-extent", type=float, default=0.2)
 
     for name, fn in [
         ("train", cmd_train),
         ("render", cmd_render),
         ("full-eval", cmd_full_eval),
+        ("video", cmd_video),
     ]:
         sp = sub.add_parser(name)
         common(sp)
+        if name == "video":
+            sp.add_argument("--out", default="",
+                            help="output mp4 path (default "
+                                 "<model-path>/video/orbit.mp4)")
+            sp.add_argument("--n-frames", type=int, default=60)
+            sp.add_argument("--fps", type=int, default=15)
+            sp.add_argument("--max-shear", type=float, default=0.25)
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("eval-dsm")

@@ -138,7 +138,8 @@ class ModelConfig:
     camera_params: CameraParamsConfig = dataclasses.field(
         default_factory=CameraParamsConfig
     )
-    msi_to_pan_name: str = "fixed"  # fixed|average|identity|only_one_channel|learned
+    # fixed|average|identity|only_one_channel|learned|fixedandtranslate
+    msi_to_pan_name: str = "fixed"
     share_color_correction: bool = True
     weird_pan_setup: bool = False
     load_pan: bool = True

@@ -140,6 +140,21 @@ def pan_l2_loss(pan, gt_pan):
     return jnp.mean((pan - gt_pan) ** 2)
 
 
+def pansharp_loss(syn_image, gt_pan, gt_msi, method: str = "brovey"):
+    """L2 between a synthesized image and the pansharpened ground truth
+    (loss/pansharp_loss.py:7-23).
+
+    Note: the reference defines this loss but never instantiates it
+    (train_pan.py:300 pins L_pansharp = 0); it is provided here as a library
+    function for parity of capability. `syn_image` must be at PAN resolution
+    (pansharpening outputs at the PAN grid).
+    """
+    from eogs2_tpu.pansharpen import load_pansharp
+
+    sharp = load_pansharp(method)(img_pan=gt_pan, img_msi=gt_msi)
+    return jnp.mean((syn_image - sharp) ** 2)
+
+
 def pan_gradient_loss(pan, gt_pan):
     """L2 on central-difference gradients (PAN_loss.py:20-31)."""
 

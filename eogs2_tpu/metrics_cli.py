@@ -61,6 +61,48 @@ def perceptual_distance(a, b):
     return (total / max(wsum, 1e-9)) + grad_term
 
 
+_VGG_SLICES = ((0, 4), (4, 9), (9, 16), (16, 23), (23, 30))  # relu1_2..relu5_3
+
+
+def lpips_torch(a, b):
+    """LPIPS-vgg perceptual distance via torchvision VGG16 features.
+
+    Matches the reference's lpipsPyTorch structure (lpipsPyTorch/modules/
+    lpips.py): unit-normalized activations of the 5 VGG16 conv blocks,
+    squared-difference maps spatially averaged and summed. The reference's
+    learned linear calibration weights are not shipped with torchvision, so
+    block outputs are averaged with unit weights (uncalibrated LPIPS).
+
+    Requires torchvision + locally cached VGG16_Weights.IMAGENET1K_V1
+    (this offline image has neither — callers fall back to
+    perceptual_distance; see compute_metrics).
+    Raises ImportError / RuntimeError when unavailable.
+    """
+    import torch  # noqa: F401 (torchvision requires torch)
+    from torchvision.models import VGG16_Weights, vgg16
+
+    net = vgg16(weights=VGG16_Weights.IMAGENET1K_V1).features.eval()
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def feats(x):
+        x = torch.as_tensor(np.asarray(x, np.float32))[None, :3]
+        x = (x - mean) / std
+        out = []
+        for lo, hi in _VGG_SLICES:
+            for layer in net[lo:hi]:
+                x = layer(x)
+            out.append(x / (x.norm(dim=1, keepdim=True) + 1e-10))
+        return out
+
+    with torch.no_grad():
+        total = sum(
+            float(((fa - fb) ** 2).sum(1).mean())
+            for fa, fb in zip(feats(a), feats(b))
+        )
+    return total / len(_VGG_SLICES)
+
+
 def compute_metrics(render_dir: str, gt_dir: str):
     import jax.numpy as jnp
 
@@ -69,6 +111,7 @@ def compute_metrics(render_dir: str, gt_dir: str):
     renders = _load_dir(render_dir)
     gts = _load_dir(gt_dir)
     rows = []
+    use_lpips = True
     for name, r in renders.items():
         if name not in gts:
             continue
@@ -77,12 +120,20 @@ def compute_metrics(render_dir: str, gt_dir: str):
         h = min(r.shape[1], g.shape[1])
         w = min(r.shape[2], g.shape[2])
         r2, g2 = r[:c, :h, :w], g[:c, :h, :w]
+        perceptual = None
+        if use_lpips and c >= 3:
+            try:
+                perceptual = lpips_torch(r2, g2)
+            except Exception:
+                use_lpips = False  # torchvision/weights absent: proxy for all
+        if perceptual is None:
+            perceptual = perceptual_distance(r2, g2)
         rows.append(
             {
                 "name": name,
                 "psnr": float(psnr(jnp.asarray(r2), jnp.asarray(g2))),
                 "ssim": float(ssim(jnp.asarray(r2), jnp.asarray(g2))),
-                "perceptual": perceptual_distance(r2, g2),
+                "perceptual": perceptual,
             }
         )
     summary = {

@@ -214,7 +214,8 @@ def rasterize(
 
         data = pack_tile_data(g_mean2d, g_conic, g_opac, g_feat, mask)
         k_chunk = _pick_k_chunk(config.tile_capacity)
-        out, final_t = blend_tiles_pallas(data, bg, grid_x, k_chunk, False)
+        out, final_t = blend_tiles_pallas(data, bg, grid_x, k_chunk,
+                                          jax.default_backend() == "cpu")
     else:
         tx = jnp.arange(grid_x * grid_y, dtype=jnp.float32) % grid_x
         ty = jnp.arange(grid_x * grid_y, dtype=jnp.float32) // grid_x

@@ -212,6 +212,40 @@ def render_sets(args):
                         np.asarray(s_rgb)[:, :hn, :wn],
                     )
 
+                # random-camera resample (render_pan.py:241-272; the
+                # reference computes these but comments its writes out —
+                # here they are opt-in artifacts)
+                if getattr(args, "random_pov", False):
+                    import jax
+
+                    rkey = jax.random.PRNGKey(1000 + vi)
+                    rand_cam, cam2rand = view.camera.random_camera(
+                        rkey, getattr(args, "random_pov_extent", 0.2)
+                    )
+                    r_rgb, r_alt, r_uv, _ = render_resample_virtual_camera(
+                        model, rand_cam, jnp.asarray(cam2rand), uva, bgv, rcfg
+                    )
+                    r_alt = np.asarray(r_alt)[:hn, :wn]
+                    r_diff = alt2d - r_alt
+                    occl = (np.abs(r_diff) < 0.30) & np.all(
+                        np.abs(np.asarray(r_uv))[:hn, :wn] < 1.0, axis=-1
+                    )
+                    for kind in ("randompovsampled", "random_altitude_diff",
+                                 "random_occlusion_map"):
+                        os.makedirs(os.path.join(base, kind), exist_ok=True)
+                    _save_png(
+                        os.path.join(base, "randompovsampled", name + ".png"),
+                        np.asarray(r_rgb)[:, :hn, :wn] * occl[None],
+                    )
+                    _save_float(
+                        os.path.join(base, "random_altitude_diff",
+                                     name + ".tif"), r_diff,
+                    )
+                    _save_float(
+                        os.path.join(base, "random_occlusion_map",
+                                     name + ".tif"), occl.astype(np.float32),
+                    )
+
             # flow-matched altitude for the TSDF stage (render_pan.py:285-306):
             # shift the altitude map by the gt->render flow so TSDF fuses
             # registered depth

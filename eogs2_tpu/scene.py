@@ -117,6 +117,7 @@ def load_scene(
     seed: int = 0,
     scale_factor_z: float = 1.0,
     rescaler_name: str = "clamper",
+    input_ply_name: Optional[str] = None,
 ) -> SceneData:
     """Load a scene directory containing affine_models.json (+ train/test.txt).
 
@@ -193,12 +194,24 @@ def load_scene(
                 v.image = np.asarray(rescale(v.image), np.float32)
 
     model = model_md["model"]
-    max_world = list(model["max_world"])
-    # z-stretch of the init volume (dataset_MS_affine.py:107)
-    max_world[2] = max_world[2] * scale_factor_z
-    xyz, rgb = uniform_point_init(
-        model["min_world"], max_world, model["scale"], target_density, seed
-    )
+    if input_ply_name is not None:
+        # PLY-based init: load points/colors from a named PLY in the scene
+        # dir instead of the uniform cloud (dataset_MS_affine.py:116-121,
+        # dataset_affine.py:298-302)
+        from eogs2_tpu.io.ply import read_point_cloud
+
+        xyz, rgb = read_point_cloud(
+            os.path.join(path, f"{input_ply_name}.ply")
+        )
+        xyz = np.asarray(xyz, np.float32)
+        rgb = np.asarray(rgb, np.float32)
+    else:
+        max_world = list(model["max_world"])
+        # z-stretch of the init volume (dataset_MS_affine.py:107)
+        max_world[2] = max_world[2] * scale_factor_z
+        xyz, rgb = uniform_point_init(
+            model["min_world"], max_world, model["scale"], target_density, seed
+        )
     radius = np.linalg.norm(xyz - xyz.mean(0), axis=1).max() * 2.0
 
     return SceneData(

@@ -82,7 +82,10 @@ def msi_to_pan(img_chw, mode: str, weight=None, bias=None):
     """MSI (3ch) -> PAN (1ch) conversion family (transf_msi_to_pan.py).
 
     Modes: 'fixed' (WV3 weights), 'learned' (per-camera weight/bias),
-    'average', 'identity', 'only_one_channel'.
+    'average', 'identity', 'only_one_channel', 'fixedandtranslate'
+    (stop-gradient fixed WV3 path + learnable residual conv,
+    transf_msi_to_pan.py:134-178; residual initialized to zero so the output
+    starts at the fixed conversion, vs. the reference's random conv init).
     """
     if mode == "identity":
         return img_chw
@@ -90,6 +93,16 @@ def msi_to_pan(img_chw, mode: str, weight=None, bias=None):
         return jnp.mean(img_chw, axis=0, keepdims=True)
     if mode == "only_one_channel":
         return img_chw[:1]
+    if mode == "fixedandtranslate":
+        w = jnp.asarray(WV3_PAN_PARAMS[:3], img_chw.dtype)
+        b = jnp.asarray(WV3_PAN_PARAMS[4], img_chw.dtype)
+        fixed = jax.lax.stop_gradient(
+            jnp.sum(w[:, None, None] * img_chw, axis=0, keepdims=True) + b
+        )
+        residual = (
+            jnp.sum(weight[:, None, None] * img_chw, axis=0, keepdims=True) + bias
+        )
+        return fixed + residual
     if mode == "fixed":
         w = jnp.asarray(WV3_PAN_PARAMS[:3], img_chw.dtype)
         b = jnp.asarray(WV3_PAN_PARAMS[4], img_chw.dtype)

@@ -665,7 +665,16 @@ class Trainer:
             self.pan_mode = {"fixed": "fixed", "identity": "identity",
                              "average": "average",
                              "only_one_channel": "only_one_channel",
-                             "learned": "learned"}[mode]
+                             "learned": "learned",
+                             "fixedandtranslate": "fixedandtranslate"}[mode]
+        if self.pan_mode == "fixedandtranslate":
+            # residual conv starts at zero so output == fixed WV3 path
+            # (transf_msi_to_pan.py:134-178; see shading.msi_to_pan)
+            sh0 = self.state.shading
+            self.state = self.state.replace(shading=sh0.replace(
+                msi_to_pan_weight=jnp.zeros_like(sh0.msi_to_pan_weight),
+                msi_to_pan_bias=jnp.zeros_like(sh0.msi_to_pan_bias),
+            ))
         self._steps = {}
         self._low_occupancy_checks = 0
         self.rng = np.random.RandomState(cfg.seed)

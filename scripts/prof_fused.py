@@ -1,0 +1,192 @@
+"""Stage-level timing of the FUSED rasterization path on the current device.
+
+Breaks the fused fwd+bwd into: preprocess (fwd, hand/bwd), emission keys,
+emission sort + range, pay_pad materialization, fwd kernel, bwd kernel,
+emission-return sort, and the full ends. In-graph fori_loop repetition (see
+prof_raster.py for why).
+
+Usage: ./tpurun.sh python scripts/prof_fused.py [N [W [TCAP [KCAP [KCHUNK]]]]]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from eogs2_tpu.rasterizer import RasterizeConfig, rasterize
+from eogs2_tpu.ops.gaussians import build_cov3d
+from eogs2_tpu.ops.projection import preprocess_gaussians, compute_cov2d_direct
+from eogs2_tpu.ops.pair_pipeline import _emission_keys
+from eogs2_tpu.ops.binning import grid_dims
+from eogs2_tpu.ops import fused_raster as FR
+
+INTERP = jax.default_backend() == "cpu"
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+W = H = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+TCAP = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+KCAP = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+KCHUNK = int(sys.argv[5]) if len(sys.argv) > 5 else 128
+REPS = 10
+
+rng = np.random.RandomState(42)
+means = rng.uniform(-0.9, 0.9, (N, 3)).astype(np.float32)
+means[:, 2] = -0.3 + 0.1 * rng.rand(N)
+scales = np.full((N, 3), 0.006, np.float32)
+quats = np.tile(np.array([1, 0, 0, 0], np.float32), (N, 1))
+opac = np.full((N,), 0.7, np.float32)
+rgb = rng.uniform(0.2, 0.9, (N, 3)).astype(np.float32)
+affine = np.array(
+    [[1.0, 0.05, 0.3, 0.0], [0.0, 1.0, -0.2, 0.0], [0, 0, 1.0, 0.0]],
+    np.float32,
+)
+alt = means @ affine[2, :3] + affine[2, 3]
+feat = np.concatenate([rgb, alt[:, None], np.ones((N, 1), np.float32)], 1)
+bg = np.array([0, 0, 0, -1, 0], np.float32)
+(means, scales, quats, opac, feat, affine, bg) = (
+    jnp.asarray(x) for x in (means, scales, quats, opac, feat, affine, bg)
+)
+CFG = RasterizeConfig(
+    tile_capacity=KCAP, tile_chunk=KCHUNK, max_tiles_per_gaussian=TCAP,
+    binning_mode="fused",
+)
+
+
+def timeit(name, f):
+    @jax.jit
+    def run(z):
+        def body(i, acc):
+            return acc + f(acc * 1e-30 + z)
+
+        return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+
+    float(run(jnp.float32(0.0)))
+    t0 = time.perf_counter()
+    float(run(jnp.float32(0.0)))
+    dt = (time.perf_counter() - t0) / REPS
+    print(f"{name:36s} {dt * 1e3:8.2f} ms", flush=True)
+    return dt
+
+
+grid_x, grid_y = grid_dims(W, H)
+n_tiles = grid_x * grid_y
+
+cov2d0 = jax.jit(lambda: compute_cov2d_direct(scales, quats, affine, W, H))()
+prep0 = jax.jit(lambda: preprocess_gaussians(
+    means, None, opac, affine, W, H, cov2d=cov2d0))()
+tile_tab0, depth_tab0, _ = jax.jit(lambda: _emission_keys(
+    prep0, W, H, TCAP))()
+pay_cols0 = (
+    prep0.mean2d[:, 0], prep0.mean2d[:, 1],
+    prep0.conic[:, 0], prep0.conic[:, 1], prep0.conic[:, 2],
+    prep0.opacity,
+) + tuple(feat[:, j] for j in range(feat.shape[1]))
+_sorted = jax.jit(lambda: FR._sort_and_range(
+    pay_cols0, tile_tab0, depth_tab0, n_tiles, TCAP))()
+sorted_cols0, sort_tile0, src_idx0, tstart0, cnt0 = _sorted
+p = tile_tab0.shape[0]
+pay_pad0 = jax.jit(lambda: jnp.zeros((p + KCAP, FR.NFF), jnp.float32)
+                   .at[:p, :len(pay_cols0)].set(jnp.stack(sorted_cols0, -1)))()
+out8_0 = jax.jit(lambda: FR._fused_fwd_call(
+    pay_pad0, tstart0, cnt0, n_tiles, KCAP, KCHUNK, grid_x, INTERP))()
+
+
+def f_prep(z):
+    c = compute_cov2d_direct(scales + z, quats, affine, W, H)
+    pp = preprocess_gaussians(means + z, None, opac, affine, W, H, cov2d=c)
+    return jnp.sum(pp.mean2d) + jnp.sum(pp.conic) + jnp.sum(pp.depth)
+
+
+def f_prep_grad(z):
+    def loss(m, s, q, o):
+        c = compute_cov2d_direct(s, q, affine, W, H)
+        pp = preprocess_gaussians(m, None, o, affine, W, H, cov2d=c)
+        return (jnp.sum(pp.mean2d ** 2) + jnp.sum(pp.conic ** 2)
+                + jnp.sum(pp.opacity ** 2))
+
+    v, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+        means + z, scales, quats, opac)
+    return v + sum(jnp.sum(x) for x in g)
+
+
+def f_keys(z):
+    pp = prep0._replace(mean2d=prep0.mean2d + z)
+    tt, dt_, _ = _emission_keys(pp, W, H, TCAP)
+    return jnp.sum(tt) + jnp.sum(dt_)
+
+
+def f_sort(z):
+    cols = tuple(c + z for c in pay_cols0)
+    sc, st, si, ts, cn = FR._sort_and_range(cols, tile_tab0, depth_tab0,
+                                            n_tiles, TCAP)
+    return sum(jnp.sum(c) for c in sc) + jnp.sum(ts.astype(jnp.float32))
+
+
+def f_paypad(z):
+    pay = jnp.zeros((p + KCAP, FR.NFF), jnp.float32).at[:p, :len(pay_cols0)].set(
+        jnp.stack([c + z for c in sorted_cols0], -1))
+    return jnp.sum(pay[:, 0])
+
+
+def f_fwdkernel(z):
+    out8 = FR._fused_fwd_call(pay_pad0 + z, tstart0, cnt0, n_tiles, KCAP,
+                              KCHUNK, grid_x, INTERP)
+    return jnp.sum(out8[:, :, :6])
+
+
+def f_bwdkernel(z):
+    g_out = jnp.ones_like(out8_0) * (1.0 + z)
+    gpay = FR._fused_bwd_call(pay_pad0, g_out, out8_0, tstart0, cnt0,
+                              n_tiles, KCAP, KCHUNK, grid_x, INTERP)
+    return jnp.sum(gpay[:, :11])
+
+
+def f_return_sort(z):
+    gcols = tuple(jnp.where(src_idx0 >= 0, pay_pad0[:p, j] + z, 0.0)
+                  for j in range(11))
+    s = jax.lax.sort((src_idx0,) + gcols, num_keys=1)
+    return sum(jnp.sum(c.reshape(N, -1).sum(1)) for c in s[1:])
+
+
+def f_fwd(z):
+    out = rasterize(means + z, scales, quats, opac, feat, affine, bg, W, H, CFG)
+    return jnp.sum(out.image)
+
+
+def f_fwdbwd(z):
+    def loss(m, s, q, o_, f_, a):
+        out = rasterize(m, s, q, o_, f_, a, bg, W, H, CFG)
+        return jnp.sum(out.image[:3] ** 2) + jnp.sum(out.final_t)
+
+    v, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5))(
+        means + z, scales, quats, opac, feat, affine)
+    return v + sum(jnp.sum(x) for x in g)
+
+
+print(f"device={jax.devices()[0].platform} N={N} {W}x{H} tcap={TCAP} "
+      f"kcap={KCAP} kchunk={KCHUNK} pairs={int(jnp.sum(prep0.tiles_touched))} "
+      f"max_tile={int(jnp.max(cnt0))}", flush=True)
+timeit("preprocess fwd", f_prep)
+timeit("preprocess fwd+bwd", f_prep_grad)
+timeit("emission keys", f_keys)
+timeit("emission sort+range", f_sort)
+timeit("pay_pad materialize", f_paypad)
+timeit("fwd kernel", f_fwdkernel)
+timeit("bwd kernel", f_bwdkernel)
+timeit("emission-return sort+reduce", f_return_sort)
+t_f = timeit("FULL fused fwd", f_fwd)
+t_fb = timeit("FULL fused fwd+bwd", f_fwdbwd)
+print(f"=> {W * H / t_fb / 1e6:.2f} Mrays/s fwd+bwd (in-graph)")

@@ -235,3 +235,66 @@ def test_capacity_shrinks_after_transient(tmp_path):
     assert tr.raster_cfg.max_tiles_per_gaussian < 64 or \
         tr.raster_cfg.tile_capacity < 512, (
             tr.raster_cfg.max_tiles_per_gaussian, tr.raster_cfg.tile_capacity)
+
+
+def test_msi_to_pan_fixedandtranslate():
+    """fixedandtranslate == fixed at zero residual; grads flow only through
+    the residual conv (transf_msi_to_pan.py:134-178)."""
+    import jax
+
+    from eogs2_tpu.shading import msi_to_pan
+
+    img = jnp.asarray(np.random.RandomState(0).rand(3, 8, 8), jnp.float32)
+    w0 = jnp.zeros(3)
+    b0 = jnp.zeros(())
+    out = msi_to_pan(img, "fixedandtranslate", w0, b0)
+    ref = msi_to_pan(img, "fixed")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    # the fixed path is stop-gradient: d(out)/d(img) comes only from residual
+    g = jax.grad(lambda im, w: jnp.sum(msi_to_pan(im, "fixedandtranslate", w, b0)))(img, w0)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+    gw = jax.grad(
+        lambda w: jnp.sum(msi_to_pan(img, "fixedandtranslate", w, b0))
+    )(w0)
+    assert np.all(np.asarray(gw) > 0)
+
+
+def test_pansharp_loss():
+    from eogs2_tpu.losses import pansharp_loss
+    from eogs2_tpu.pansharpen import load_pansharp
+
+    rng = np.random.RandomState(3)
+    gt_pan = jnp.asarray(rng.rand(1, 16, 16), jnp.float32)
+    gt_msi = jnp.asarray(rng.rand(3, 8, 8), jnp.float32)
+    sharp = load_pansharp("brovey")(img_pan=gt_pan, img_msi=gt_msi)
+    assert float(pansharp_loss(sharp, gt_pan, gt_msi)) < 1e-12
+    l = float(pansharp_loss(jnp.zeros_like(sharp), gt_pan, gt_msi))
+    assert np.isfinite(l) and l > 0
+
+
+def test_ply_scene_init(scene_dir):
+    from eogs2_tpu.io.ply import write_point_cloud
+
+    xyz = np.random.RandomState(1).uniform(-0.5, 0.5, (123, 3)).astype(np.float32)
+    rgb = np.random.RandomState(2).rand(123, 3).astype(np.float32)
+    write_point_cloud(os.path.join(scene_dir, "custom_init.ply"), xyz, rgb)
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False,
+                       input_ply_name="custom_init")
+    assert scene.init_xyz.shape == (123, 3)
+    np.testing.assert_allclose(scene.init_xyz, xyz, atol=1e-6)
+
+
+def test_lpips_torch_declared_fallback():
+    """lpips_torch exists; without torchvision/weights it raises and
+    compute_metrics falls back to the weight-free proxy."""
+    from eogs2_tpu import metrics_cli
+
+    a = np.random.RandomState(0).rand(3, 32, 32).astype(np.float32)
+    try:
+        v = metrics_cli.lpips_torch(a, a)
+        assert v < 1e-6  # identical inputs
+    except Exception:
+        pass  # torchvision absent in this image: fallback path
+    assert np.isfinite(metrics_cli.perceptual_distance(a, 1.0 - a))
