@@ -76,7 +76,6 @@ def cmd_train(args):
     from eogs2_tpu.rasterizer import RasterizeConfig
     from eogs2_tpu.train import Trainer
     from eogs2_tpu.model import GaussianModel
-    from eogs2_tpu.io import ply as plyio
 
     cfg = PRESETS[args.preset](args.scene_dir)
     if args.iterations:
@@ -136,6 +135,15 @@ def cmd_train(args):
             )
 
     tr.log_hook = log_hook
+    tr.report_logger = logger  # big_testing_iterations report target
+    if args.save_iterations:
+        tr.cfg.save_iterations = tuple(
+            int(x) for x in args.save_iterations.split(",") if x
+        )
+    if args.big_testing_iterations:
+        tr.cfg.logging.big_testing_iterations = [
+            int(x) for x in args.big_testing_iterations.split(",") if x
+        ]
 
     mae_hook = None
     if args.eval_during_training and os.path.exists(
@@ -145,6 +153,7 @@ def cmd_train(args):
         from eogs2_tpu.pipeline import evaluate_dsm_mae
 
         mc = MaeComputer.from_synthetic(args.scene_dir, scale=scene.scene_scale)
+        tr.mae_computer = mc  # RDSM figure in training_report
 
         def mae_hook(trainer, state, iteration):
             model = GaussianModel(params=state.params, aux=state.aux)
@@ -155,35 +164,7 @@ def cmd_train(args):
 
     state = tr.train()
 
-    os.makedirs(args.model_path, exist_ok=True)
-    it = int(state.step)
-    pc_dir = os.path.join(args.model_path, "point_cloud", f"iteration_{it}")
-    alive = np.asarray(state.aux.alive)
-    plyio.save_gaussians_ply(
-        os.path.join(pc_dir, "point_cloud.ply"),
-        np.asarray(state.params.xyz)[alive],
-        np.asarray(state.params.features_dc)[alive],
-        np.asarray(state.params.features_rest)[alive],
-        np.asarray(state.params.opacity)[alive],
-        np.asarray(state.params.scaling)[alive],
-        np.asarray(state.params.rotation)[alive],
-    )
-    # camera/shading parameters + config snapshot
-    import orbax.checkpoint as ocp
-
-    ckpt_dir = os.path.join(args.model_path, "camera_params", f"iteration_{it}")
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(
-        os.path.abspath(os.path.join(ckpt_dir, "shading")),
-        dict(jax.tree.map(np.asarray, state.shading.__dict__)),
-    )
-    ckptr.wait_until_finished()
-    # test-camera shading (cc train->test conversion, 'average' by default)
-    ckptr.save(
-        os.path.abspath(os.path.join(ckpt_dir, "shading_test")),
-        dict(jax.tree.map(np.asarray, tr.test_shading_params().__dict__)),
-    )
-    ckptr.wait_until_finished()
+    it = tr.save_model()
     with open(os.path.join(args.model_path, "cfg_args.json"), "w") as f:
         json.dump({"preset": args.preset, "scene_dir": args.scene_dir,
                    "iterations": it}, f)
@@ -354,6 +335,10 @@ def build_parser():
                         help="also write random-camera resample artifacts "
                              "(render_pan.py:241-272)")
         sp.add_argument("--random-pov-extent", type=float, default=0.2)
+        sp.add_argument("--save-iterations", default="",
+                        help="comma list of mid-run model-save iterations")
+        sp.add_argument("--big-testing-iterations", default="",
+                        help="comma list of full train/test report iterations")
 
     for name, fn in [
         ("train", cmd_train),

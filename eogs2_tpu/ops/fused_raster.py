@@ -199,6 +199,11 @@ def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, fwd_ref, gpay_hbm,
         )  # [Kc, P]
         contrib = w * fdot
         prefix_inc = prefix + _scan_incl_sub(contrib, interpret)
+        # `total` was reduced in the forward with a different order
+        # (dot_general(w, feat) then dot with g_pix), so the last live
+        # pair's suffix cancels only to within fp rounding: g_alpha picks up
+        # O(eps * total) noise. Within gradient-parity tolerance in f32; if
+        # the feature dots ever move to bf16, re-evaluate this cancellation.
         suffix = total - prefix_inc
         g_alpha = fdot * t_before - (suffix + final_t * g_ft) / one_minus
         g_alpha = jnp.where(live & keep, g_alpha, 0.0)  # [Kc, P]
@@ -323,6 +328,7 @@ def _sort_and_range(pay_cols, tile_tab, depth_tab, n_tiles, tcap):
     materialized in padded form, once, in _fused_fwd."""
     p = tile_tab.shape[0]
     n = pay_cols[0].shape[0]
+    assert p == n * tcap, (p, n, tcap)  # dense [N, tcap] emission layout
     tcap_b = p // n
     em_cols = tuple(
         jnp.broadcast_to(c[:, None], (n, tcap_b)).reshape(-1)

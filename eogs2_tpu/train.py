@@ -566,6 +566,8 @@ class Trainer:
     raster_cfg: RasterizeConfig = RasterizeConfig()
     eval_hook: Optional[Callable] = None  # fn(trainer, state, iteration) -> dict
     log_hook: Optional[Callable] = None
+    report_logger: Optional[object] = None  # MetricsLogger for training_report
+    mae_computer: Optional[object] = None  # RDSM figure in training_report
     # Multi-chip training (all-new vs the single-GPU reference, SURVEY §2.3):
     # a jax.sharding.Mesh with a "g" axis shards the Gaussian SoA + Adam
     # moments over chips; GSPMD partitions the jitted step (preprocess and
@@ -1034,6 +1036,16 @@ class Trainer:
             if self.eval_hook and iteration % self.cfg.logging.testing_interval == 0:
                 self.eval_hook(self, self.state, iteration)
 
+            # full train/test render report (train_pan.py:598, 838-1025)
+            if iteration in (self.cfg.logging.big_testing_iterations or ()):
+                self.training_report(iteration)
+
+            # mid-run model saves incl. cc->test at save time
+            # (train_pan.py:622-660)
+            if iteration in self.cfg.save_iterations:
+                print(f"[ITER {iteration}] saving gaussians", flush=True)
+                self.save_model(iteration)
+
             if iteration == iters and o.normalize_colors_before_saving:
                 from eogs2_tpu.color_ops import normalize_colors_before_saving
 
@@ -1095,6 +1107,145 @@ class Trainer:
         print(f"calibrated opacity_init_value = {value:.4f} "
               f"(mean acc opacity target {target_acc})")
         return value
+
+    def save_model(self, iteration: Optional[int] = None) -> int:
+        """Model save: point-cloud PLY + camera/shading parameters with the
+        cc->test conversion applied at save time + optimizer state
+        (train_pan.py:622-660). Runs at every cfg.save_iterations during
+        training and from the CLI at the end of a run."""
+        import orbax.checkpoint as ocp
+
+        from eogs2_tpu.io import ply as plyio
+
+        it = int(self.state.step) if iteration is None else int(iteration)
+        model_path = self.cfg.logging.model_path
+        os.makedirs(model_path, exist_ok=True)
+        pc_dir = os.path.join(model_path, "point_cloud", f"iteration_{it}")
+        alive = np.asarray(self.state.aux.alive)
+        p = jax.tree.map(np.asarray, self.state.params)
+        plyio.save_gaussians_ply(
+            os.path.join(pc_dir, "point_cloud.ply"),
+            p.xyz[alive], p.features_dc[alive], p.features_rest[alive],
+            p.opacity[alive], p.scaling[alive], p.rotation[alive],
+        )
+        ckptr = ocp.StandardCheckpointer()
+        ckpt_dir = os.path.join(model_path, "camera_params", f"iteration_{it}")
+        ckptr.save(
+            os.path.abspath(os.path.join(ckpt_dir, "shading")),
+            dict(jax.tree.map(np.asarray, self.state.shading.__dict__)),
+        )
+        ckptr.wait_until_finished()
+        ckptr.save(
+            os.path.abspath(os.path.join(ckpt_dir, "shading_test")),
+            dict(jax.tree.map(np.asarray, self.test_shading_params().__dict__)),
+        )
+        ckptr.wait_until_finished()
+        opt_dir = os.path.join(model_path, "optimizer", f"iteration_{it}")
+        adam = {
+            "g_mu": jax.tree.map(np.asarray, dict(self.state.g_opt.mu.__dict__)),
+            "g_nu": jax.tree.map(np.asarray, dict(self.state.g_opt.nu.__dict__)),
+            "c_mu": jax.tree.map(np.asarray, dict(self.state.c_opt.mu.__dict__)),
+            "c_nu": jax.tree.map(np.asarray, dict(self.state.c_opt.nu.__dict__)),
+        }
+        # orbax refuses zero-size arrays (e.g. features_rest at sh_degree 0)
+        adam = {
+            grp: {k: v for k, v in d.items()
+                  if v is not None and getattr(v, "size", 1) > 0}
+            for grp, d in adam.items()
+        }
+        ckptr.save(os.path.abspath(os.path.join(opt_dir, "adam")), adam)
+        ckptr.wait_until_finished()
+        return it
+
+    def training_report(self, iteration: int, logger=None, max_images: int = 5):
+        """Full train/test evaluation report (training_report,
+        train_pan.py:838-1025): renders EVERY train and test camera through
+        the full shading pipeline (test cameras use the cc->test
+        conversion), logs per-modality L1/PSNR scalars and up to
+        `max_images` rendered images per split, and — when a MaeComputer is
+        attached as self.mae_computer — logs the registered DSM and the
+        |diff| map of the Nadir render. Driven by
+        cfg.logging.big_testing_iterations."""
+        from eogs2_tpu.model import GaussianModel
+        from eogs2_tpu.pipeline import render_view_full
+
+        logger = logger if logger is not None else getattr(self, "report_logger", None)
+        model = GaussianModel(params=self.state.params, aux=self.state.aux)
+        test_sh = self.test_shading_params()
+        report = {}
+        num_views = len(self.modal_views[0][1])
+        for split in ("train", "test"):
+            sums = {}
+            n_logged = 0
+            for mi, (mname, tviews) in enumerate(self.modal_views):
+                idx_off = 0 if (self._share_cc or mi == 0) else mi * num_views
+                views = (
+                    tviews if split == "train"
+                    else [v for v in self.scene.test_views
+                          if v.image_type == mname and not v.is_virtual]
+                )
+                for vi, view in enumerate(views):
+                    if view.image is None:
+                        continue
+                    out = render_view_full(
+                        model, view.camera, self.raster_cfg,
+                        shading=(self.state.shading if split == "train"
+                                 else test_sh),
+                        view_idx=(vi + idx_off if split == "train" else 0),
+                        with_sun=view.camera.has_sun,
+                        pan_mode=self.pan_mode if mname == "pan" else None,
+                    )
+                    gt = np.clip(view.image, 0.0, 1.0)
+                    img = np.asarray(out["final"])
+                    c = min(img.shape[0], gt.shape[0])
+                    h = min(img.shape[1], gt.shape[1])
+                    w = min(img.shape[2], gt.shape[2])
+                    img, gt = img[:c, :h, :w], gt[:c, :h, :w]
+                    mse = float(np.mean((img - gt) ** 2))
+                    l1, ps, n = sums.get(mname, (0.0, 0.0, 0))
+                    sums[mname] = (
+                        l1 + float(np.mean(np.abs(img - gt))),
+                        ps + (-10.0 * np.log10(mse + 1e-12)),
+                        n + 1,
+                    )
+                    if logger is not None and n_logged < max_images:
+                        logger.log_image(
+                            f"{split}_v_{view.name[:5]}_{mname}/render",
+                            img, iteration,
+                        )
+                        logger.log_image(
+                            f"{split}_v_{view.name[:5]}_{mname}/ground_truth",
+                            gt, iteration,
+                        )
+                        n_logged += 1
+            for mname, (l1, ps, n) in sums.items():
+                if n:
+                    report[f"{split}/l1_loss_{mname}"] = l1 / n
+                    report[f"{split}/psnr_{mname}"] = ps / n
+
+        # RDSM + |diff| figure vs lidar GT (train_pan.py:966-1023)
+        mc = getattr(self, "mae_computer", None)
+        if mc is not None:
+            from eogs2_tpu.pipeline import evaluate_dsm_mae
+
+            mae, _, diff, rdsm = evaluate_dsm_mae(
+                model, self.scene, mc, self.raster_cfg
+            )
+            report["report/MAE"] = float(mae)
+            if logger is not None:
+                for tag, arr in (("RDSM", rdsm), ("abs_diff", np.abs(diff))):
+                    a = np.asarray(arr, np.float32)
+                    finite = np.isfinite(a)
+                    lo = np.nanmin(a[finite]) if finite.any() else 0.0
+                    hi = np.nanmax(a[finite]) if finite.any() else 1.0
+                    norm = np.where(finite, (a - lo) / max(hi - lo, 1e-9), 0.0)
+                    logger.log_image(f"report/{tag}", norm[None], iteration)
+        if logger is not None:
+            logger.log_scalars(report, iteration)
+        if report:
+            pretty = {k: round(v, 4) for k, v in report.items()}
+            print(f"[ITER {iteration}] report: {pretty}", flush=True)
+        return report
 
     def test_shading_params(self):
         """Shading parameters for test cameras: train cams' cc converted by

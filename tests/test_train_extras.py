@@ -298,3 +298,37 @@ def test_lpips_torch_declared_fallback():
     except Exception:
         pass  # torchvision absent in this image: fallback path
     assert np.isfinite(metrics_cli.perceptual_distance(a, 1.0 - a))
+
+
+def test_big_testing_and_save_iterations(scene_dir, tmp_path):
+    """big_testing_iterations drives the full train/test report and
+    save_iterations drives mid-run model saves (train_pan.py:598-660)."""
+    from eogs2_tpu.observability import MetricsLogger
+
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=6)
+    cfg.logging.model_path = str(tmp_path / "run")
+    cfg.logging.big_testing_iterations = [4]
+    cfg.save_iterations = (4,)
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=RCFG).setup()
+    tr.report_logger = MetricsLogger(cfg.logging.model_path,
+                                     use_tensorboard=False)
+    tr.train(progress=False)
+    # mid-run save happened at iteration 4
+    assert os.path.exists(os.path.join(
+        cfg.logging.model_path, "point_cloud", "iteration_4", "point_cloud.ply"))
+    assert os.path.exists(os.path.join(
+        cfg.logging.model_path, "camera_params", "iteration_4"))
+    assert os.path.exists(os.path.join(
+        cfg.logging.model_path, "optimizer", "iteration_4"))
+    # report logged scalars + images
+    import json as _json
+
+    rows = [_json.loads(l) for l in open(
+        os.path.join(cfg.logging.model_path, "metrics.jsonl"))]
+    report_rows = [r for r in rows if any(k.startswith("train/") for k in r)]
+    assert report_rows and report_rows[0]["step"] == 4
+    assert any(k.startswith("train/psnr") for k in report_rows[0])
+    img_dir = os.path.join(cfg.logging.model_path, "images")
+    assert os.path.isdir(img_dir) and len(os.listdir(img_dir)) > 0
