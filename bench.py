@@ -3,12 +3,14 @@
 Prints ONE json line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Metric: Mrays/s through the full differentiable render (forward + backward),
-rays = H*W pixels per render. Baseline context (BASELINE.md): the reference
-publishes no throughput numbers; an RTX 3090 running the reference CUDA
-rasterizer at this scene scale is estimated at ~2ms fwd+bwd for a 256x256
-5-channel render of ~20k visible splats (~33 Mrays/s single-render). We
-report vs_baseline against that estimate until a measured reference number
-exists.
+rays = H*W pixels per render. vs_baseline divides by the PINNED RTX 3090
+reference throughput at the same workload — derived from a documented cost
+model of the reference's own CUDA kernels (BASELINE.md "Pinned RTX 3090
+reference throughput"; replaces the round-1 guess of 33, which understated
+the reference ~4x at this light scene scale).
+
+`python bench.py --scale` additionally runs the reference-scale workload
+(1M gaussians, 1 MPix) and reports against the scale baseline.
 """
 
 import json
@@ -18,12 +20,55 @@ import time
 
 import numpy as np
 
-REFERENCE_MRAYS_S = 33.0  # estimated RTX 3090 fwd+bwd (see module docstring)
+# Pinned in BASELINE.md (round 2): cost model of forward.cu/backward.cu/
+# rasterizer_impl.cu on RTX 3090 specs, generous to the reference.
+REFERENCE_MRAYS_S_BENCH = 131.0  # 512^2, 100k gaussians, 0.284M pairs
+REFERENCE_MRAYS_S_SCALE = 26.0  # 1 MPix, 1M gaussians, ~10M pairs
+
+
+def _measure(n, w, h, scale_px, opac_v, cfg_kwargs, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from eogs2_tpu import rasterize, RasterizeConfig
+
+    rng = np.random.RandomState(42)
+    means = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    means[:, 2] = -0.3 + 0.1 * rng.rand(n)
+    scales = np.full((n, 3), scale_px, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    opac = np.full((n,), opac_v, np.float32)
+    rgb = rng.uniform(0.2, 0.9, (n, 3)).astype(np.float32)
+    affine = np.array(
+        [[1.0, 0.05, 0.3, 0.0], [0.0, 1.0, -0.2, 0.0], [0, 0, 1.0, 0.0]], np.float32
+    )
+    alt = means @ affine[2, :3] + affine[2, 3]
+    feat = np.concatenate([rgb, alt[:, None], np.ones((n, 1), np.float32)], 1)
+    bg = np.array([0, 0, 0, -1, 0], np.float32)
+    args = [jnp.asarray(x) for x in (means, scales, quats, opac, feat, affine, bg)]
+    cfg = RasterizeConfig(binning_mode="fused", **cfg_kwargs)
+
+    def loss(means, scales, quats, opac, feat, affine, bg):
+        out = rasterize(means, scales, quats, opac, feat, affine, bg, w, h, cfg)
+        return jnp.sum(out.image[:3] ** 2) + jnp.sum(out.final_t)
+
+    vgrad = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5)))
+    v, g = vgrad(*args)
+    jax.block_until_ready((v, g))
+    float(v)  # force a full host sync (the axon platform's block_until_ready
+    # returns before remote execution completes; a value fetch does not)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v, g = vgrad(*args)
+    jax.block_until_ready((v, g))
+    float(v)
+    dt = (time.perf_counter() - t0) / iters
+    return (w * h) / dt / 1e6
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -33,66 +78,44 @@ def main():
         print(f"backend unavailable ({e})", file=sys.stderr)
         raise
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from eogs2_tpu import rasterize, RasterizeConfig
 
-    rng = np.random.RandomState(42)
-    n = 100_000
-    w = h = 512
-    means = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
-    means[:, 2] = -0.3 + 0.1 * rng.rand(n)
-    scales = np.full((n, 3), 0.006, np.float32)
-    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
-    opac = np.full((n,), 0.7, np.float32)
-    rgb = rng.uniform(0.2, 0.9, (n, 3)).astype(np.float32)
-    affine = np.array(
-        [[1.0, 0.05, 0.3, 0.0], [0.0, 1.0, -0.2, 0.0], [0, 0, 1.0, 0.0]], np.float32
-    )
-    alt = means @ affine[2, :3] + affine[2, 3]
-    feat = np.concatenate([rgb, alt[:, None], np.ones((n, 1), np.float32)], 1)
-    bg = np.array([0, 0, 0, -1, 0], np.float32)
-    args = [jnp.asarray(x) for x in (means, scales, quats, opac, feat, affine, bg)]
     # max_tiles_per_gaussian=4 is the observed max for this scene (the
     # Trainer's capacity auto-rebucketing converges to exactly this); the
     # emission table is N*tcap rows, so the tight bound halves the pair
-    # sort + backward gather vs tcap=8 (52ms vs 76ms fwd+bwd measured).
-    # fused = ragged sort-carried blend with scalar-prefetch DMA windows (no
-    # dense [T,K,F] gather in either direction); with the roll-based scans it
-    # beats 'sorted' at tight capacities too (33.5 vs 37.8 ms fwd+bwd here).
-    cfg = RasterizeConfig(
-        tile_capacity=512, tile_chunk=64, max_tiles_per_gaussian=4,
-        binning_mode="fused",
+    # sort + backward gather vs tcap=8. fused = ragged sort-carried blend
+    # with double-buffered scalar-prefetch DMA windows, product scans and
+    # MXU-basis quadratics (DESIGN.md section 8).
+    mrays = _measure(
+        100_000, 512, 512, 0.006, 0.7,
+        dict(tile_capacity=512, tile_chunk=128, max_tiles_per_gaussian=4),
+        iters=20,
     )
-
-    def loss(means, scales, quats, opac, feat, affine, bg):
-        out = rasterize(means, scales, quats, opac, feat, affine, bg, w, h, cfg)
-        return jnp.sum(out.image[:3] ** 2) + jnp.sum(out.final_t)
-
-    vgrad = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5)))
-    # warmup / compile
-    v, g = vgrad(*args)
-    jax.block_until_ready((v, g))
-    float(v)  # force a full host sync (the axon platform's block_until_ready
-    # returns before remote execution completes; a value fetch does not)
-
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        v, g = vgrad(*args)
-    jax.block_until_ready((v, g))
-    float(v)
-    dt = (time.perf_counter() - t0) / iters
-
-    mrays = (w * h) / dt / 1e6
     print(
         json.dumps(
             {
                 "metric": "fwd+bwd rasterization throughput (512x512, 100k gaussians)",
                 "value": round(mrays, 3),
                 "unit": "Mrays/s/chip",
-                "vs_baseline": round(mrays / REFERENCE_MRAYS_S, 4),
+                "vs_baseline": round(mrays / REFERENCE_MRAYS_S_BENCH, 4),
             }
         )
     )
+    if "--scale" in sys.argv:
+        mrays_s = _measure(
+            1_000_000, 1024, 1024, 2.4 / 1024, 0.10,
+            dict(tile_capacity=1024, tile_chunk=128, max_tiles_per_gaussian=4),
+            iters=5,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "fwd+bwd throughput at reference scale (1024x1024, 1M gaussians)",
+                    "value": round(mrays_s, 3),
+                    "unit": "Mrays/s/chip",
+                    "vs_baseline": round(mrays_s / REFERENCE_MRAYS_S_SCALE, 4),
+                }
+            )
+        )
 
 
 if __name__ == "__main__":

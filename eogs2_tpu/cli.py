@@ -71,6 +71,14 @@ def _load(args, load_pan=None, load_msi=None):
 
 
 def cmd_train(args):
+    # multi-host bootstrap must happen before ANY jax computation
+    from eogs2_tpu.parallel.distributed import init_distributed
+
+    args._distributed = init_distributed(
+        getattr(args, "coordinator", None),
+        getattr(args, "num_processes", None),
+        getattr(args, "process_id", None),
+    )
     _setup_jax()
     from eogs2_tpu.config import PRESETS
     from eogs2_tpu.rasterizer import RasterizeConfig
@@ -102,15 +110,24 @@ def cmd_train(args):
     if args.views_per_step:
         cfg.optimization.views_per_step = args.views_per_step
     mesh = None
-    if args.n_devices > 1:
+    n_devices = args.n_devices
+    if getattr(args, "_distributed", False):
+        # multi-host: jax.devices() is now the GLOBAL device list; default
+        # to the whole pod unless --n-devices narrows it explicitly
+        import jax
+
+        if n_devices <= 1:
+            n_devices = len(jax.devices())
+    if n_devices > 1:
         # multi-chip training: shard the Gaussian state over a "g" mesh axis
         # (on CPU use XLA_FLAGS=--xla_force_host_platform_device_count=N to
         # validate without hardware)
         from eogs2_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(args.n_devices, axes=("g",))
-        print(f"training on mesh {dict(mesh.shape)} ({args.n_devices} devices)")
+        mesh = make_mesh(n_devices, axes=("g",))
+        print(f"training on mesh {dict(mesh.shape)} ({n_devices} devices)")
     tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg, mesh=mesh,
+                 raster_backend=args.raster_backend,
                  steps_per_dispatch=args.steps_per_dispatch).setup()
     if args.opacity_init == "auto":
         tr.calibrate_opacity_init()
@@ -120,6 +137,15 @@ def cmd_train(args):
 
     from eogs2_tpu.observability import MetricsLogger
 
+    if getattr(args, "_distributed", False):
+        # every process runs the same SPMD loop; only process 0 owns the
+        # run dir (others log to a scratch subdir to avoid write races)
+        import jax
+
+        if jax.process_index() != 0:
+            args.model_path = os.path.join(
+                args.model_path, f"proc{jax.process_index()}"
+            )
     logger = MetricsLogger(args.model_path)
     logger.save_config({"preset": args.preset, "scene_dir": args.scene_dir,
                         "model": cfg.model, "optimization": cfg.optimization})
@@ -316,6 +342,17 @@ def build_parser():
         sp.add_argument("--start-checkpoint", default="")
         sp.add_argument("--checkpoint-every", type=int, default=0)
         sp.add_argument("--n-devices", type=int, default=1)
+        sp.add_argument("--raster-backend", default="gspmd",
+                        choices=["gspmd", "a2a"],
+                        help="multi-chip render path: GSPMD-partitioned "
+                        "single-chip step, or the explicit all_to_all "
+                        "pair-exchange rasterizer (needs --n-devices>1)")
+        # multi-host bootstrap (jax.distributed): pass all three on every
+        # process, or set EOGS2_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID
+        sp.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 (enables multi-host)")
+        sp.add_argument("--num-processes", type=int, default=None)
+        sp.add_argument("--process-id", type=int, default=None)
         sp.add_argument("--steps-per-dispatch", type=int, default=1)
         sp.add_argument("--views-per-step", type=int, default=0,
                         help="batch N cameras per optimizer step (vmapped "

@@ -35,7 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from eogs2_tpu.ops.binning import grid_dims
 from eogs2_tpu.ops.blend import ALPHA_EPS, ALPHA_MAX, T_EPS
-from eogs2_tpu.ops.pair_pipeline import _emission_keys
+from eogs2_tpu.ops.pair_pipeline import (
+    _emission_keys,
+    emission_broadcast,
+    emission_reduce,
+)
 from eogs2_tpu.ops.projection import TILE, Preprocessed
 
 P = TILE * TILE  # 256 pixels per tile
@@ -66,102 +70,232 @@ def _scan_incl_sub(x, interpret: bool):
     return x
 
 
-def _chunk_fields(scratch, c, k_chunk, cnt, ox, oy):
-    """Alpha and geometry for chunk c from the [K, NFF] scratch block.
+def _scan_prod_sub(x, interpret: bool):
+    """Inclusive prefix PRODUCT along sublanes of a [Kc, P] block.
 
-    Returns [Kc, P]-shaped alpha/g/dx/dy/keep (K on sublanes, pixels on
-    lanes) plus the raw field vectors."""
+    Direct multiplicative Hillis-Steele rolls. Replaces the round-1
+    log1p -> cumsum -> exp pipeline: the transmittance T is a running
+    product in the CUDA reference (forward.cu:371), and computing it as a
+    product skips TWO transcendentals per pair-pixel (measured: the blend
+    kernels are VPU-bound, exp/log1p dominate the chunk body). Underflow
+    to 0 below ~1e-38 is harmless: the live threshold is T_EPS=1e-4."""
+    if interpret:
+        return jnp.cumprod(x, axis=0)
+    kc = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    s = 1
+    while s < kc:
+        shifted = pltpu.roll(x, s, 0)
+        x = jnp.where(row >= s, x * shifted, x)
+        s *= 2
+    return x
+
+
+def _pixel_basis():
+    """TILE-LOCAL pixel-polynomial basis [6, P]:
+    rows = (1, px, py, px^2, py^2, px*py) with px,py in [0, TILE). The
+    per-pair quadratic power(px,py) then becomes ONE [Kc,6]@[6,P] MXU
+    matmul per chunk instead of ~10 [Kc,P]-wide VPU ops (the kernels are
+    VPU-bound). LOCAL coordinates are load-bearing: with global pixel
+    coords the expansion's mx^2-scale coefficients (up to canvas^2) cancel
+    against the pixel terms down to the O(1..100) true power, losing
+    ~eps*canvas^2 absolute — catastrophic at 2048px. Locally both the
+    means (shifted by the tile origin) and the pixels are O(TILE+radius),
+    and dx = mx - px is shift-invariant, so the math is unchanged."""
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (pid % TILE).astype(jnp.float32)  # [1, P]
+    py = (pid // TILE).astype(jnp.float32)
+    one = jnp.ones((1, P), jnp.float32)
+    return jnp.concatenate([one, px, py, px * px, py * py, px * py], axis=0)
+
+
+def _chunk_fields(scratch, c, k_chunk, cnt, basis, ox, oy):
+    """Alpha for chunk c from the [K, NFF] scratch block.
+
+    Returns [Kc, P]-shaped alpha/g/keep (K on sublanes, pixels on lanes)
+    plus the raw field vectors. Rows at or beyond cnt belong to neighboring
+    tiles' windows (or are uninitialized DMA garbage, possibly NaN/Inf):
+    every extracted field is sanitized with a [Kc,1]-cheap select here, so
+    no full-window zero-fill is needed and no NaN can propagate through
+    0*NaN in downstream products.
+
+    power = -0.5*ca*dx^2 - 0.5*cc*dy^2 - cb*dx*dy with dx = mx - px is
+    expanded in the pixel-polynomial basis: coefficients are per-PAIR [Kc]
+    expressions (cheap), the [Kc,P] evaluation is one MXU matmul."""
     sl = pl.ds(c * k_chunk, k_chunk)
     blk = scratch[sl, :]  # [Kc, NFF]
-    mx, my = blk[:, 0], blk[:, 1]
-    ca, cb, cc = blk[:, 2], blk[:, 3], blk[:, 4]
-    op = blk[:, 5]
-    pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    px = (pid % TILE).astype(jnp.float32) + ox
-    py = (pid // TILE).astype(jnp.float32) + oy
-    dx = mx[:, None] - px  # [Kc, P]
-    dy = my[:, None] - py
-    power = (
-        -0.5 * (ca[:, None] * dx * dx + cc[:, None] * dy * dy)
-        - cb[:, None] * dx * dy
-    )
+    kidx = c * k_chunk + jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0)
+    rowok = kidx < cnt  # [Kc, 1]
+    rv = rowok[:, 0]
+
+    def col(j):
+        return jnp.where(rv, blk[:, j], 0.0)
+
+    # tile-local means (see _pixel_basis: local coords keep the basis
+    # expansion well-conditioned; dx = mx - px is shift-invariant)
+    mx, my = col(0) - ox, col(1) - oy
+    ca, cb, cc = col(2), col(3), col(4)
+    op = col(5)
+    coef = jnp.stack(
+        [
+            -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my,  # 1
+            ca * mx + cb * my,  # px
+            cc * my + cb * mx,  # py
+            -0.5 * ca,  # px^2
+            -0.5 * cc,  # py^2
+            -cb,  # px*py
+        ],
+        axis=1,
+    )  # [Kc, 6]
+    power = jax.lax.dot_general(
+        coef, basis, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=HI,
+    )  # [Kc, P]
     g = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = jnp.minimum(ALPHA_MAX, op[:, None] * g)
-    kidx = c * k_chunk + jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0)
-    keep = (kidx < cnt) & (power <= 0.0) & (alpha_raw >= ALPHA_EPS)
+    # power is mathematically <= 0 for any PSD conic; the reference's
+    # power>0 skip (forward.cu:358) only rejects degenerate conics. The
+    # basis-matmul evaluates power by cancellation of O(100)-sized terms,
+    # so splat-center pixels (true power ~ 0) land at +-2e-5 — a strict
+    # <=0 test would drop the FRONTMOST contribution of nearly every splat
+    # at its center pixel. The small positive tolerance keeps them (g is
+    # clamped to exp(0)=1, matching the reference's exp(-~0)), while
+    # degenerate conics still produce power >> tolerance and are skipped.
+    keep = rowok & (power <= 1e-4) & (alpha_raw >= ALPHA_EPS)
     alpha = jnp.where(keep, alpha_raw, 0.0)
-    feat = blk[:, 6:11]  # [Kc, 5]
-    return alpha, g, dx, dy, keep, (ca, cb, cc, op), feat
+    feat = jnp.where(rowok, blk[:, 6:11], 0.0)  # [Kc, 5]
+    return alpha, g, keep, (mx, my, ca, cb, cc, op), feat
 
 
-def _origin(grid_x):
-    i = pl.program_id(0)
+def _shift_down_one(p_incl, interpret: bool):
+    """Exclusive product from an inclusive one: shift rows down by 1 along
+    sublanes, shifting 1.0 into row 0 (T *before* each pair = the exclusive
+    prefix; one roll+select instead of a [Kc,P] divide by one_minus)."""
+    if interpret:
+        return jnp.concatenate(
+            [jnp.ones((1,) + p_incl.shape[1:], p_incl.dtype), p_incl[:-1]], 0
+        )
+    row = jax.lax.broadcasted_iota(jnp.int32, p_incl.shape, 0)
+    return jnp.where(row == 0, 1.0, pltpu.roll(p_incl, 1, 0))
+
+
+def _origin(grid_x, tile0):
+    """Pixel origin of this grid step's tile. `tile0` (scalar-prefetched)
+    offsets local tile indices to GLOBAL tile ids — 0 on a single chip; the
+    band's first tile id under the sharded row-band rasterizer."""
+    i = pl.program_id(0) + tile0
     ox = ((i % grid_x) * TILE).astype(jnp.float32)
     oy = ((i // grid_x) * TILE).astype(jnp.float32)
     return ox, oy
 
 
-def _fwd_kernel(tstart_ref, cnt_ref, pay_hbm, out_ref, scratch, sem,
-                *, k_cap, k_chunk, grid_x, interpret):
-    t = pl.program_id(0)
-    start = tstart_ref[t]
-    cnt = jnp.minimum(cnt_ref[t], k_cap)
-    dma = pltpu.make_async_copy(
-        pay_hbm.at[pl.ds(start, k_cap), :], scratch, sem
+def _window_dma(pay_hbm, tstart_ref, scratch, sem, slot, t, k_cap):
+    """Descriptor for tile t's payload window into double-buffer `slot`.
+    Rebuilt identically at start() and wait() sites (the Pallas cross-grid-
+    step manual-pipelining pattern)."""
+    return pltpu.make_async_copy(
+        pay_hbm.at[pl.ds(tstart_ref[t], k_cap), :],
+        scratch.at[slot], sem.at[slot],
     )
-    dma.start()
-    dma.wait()
-    # zero the window tail: rows beyond cnt hold neighboring tiles' (or
-    # uninitialized) payload whose NaN/Inf would leak through masked math
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (k_cap, 1), 0)
-    scratch[:, :] = jnp.where(rowid < cnt, scratch[:, :], 0.0)
-    ox, oy = _origin(grid_x)
+
+
+def _fwd_kernel(meta_ref, tstart_ref, cnt_ref, pay_hbm, out_ref, scratch, sem,
+                *, k_cap, k_chunk, grid_x, n_tiles, early_exit, interpret):
+    t = pl.program_id(0)
+    cnt = jnp.minimum(cnt_ref[t], k_cap)
+    slot = jax.lax.rem(t, 2)
+
+    # double-buffered prefetch: tile t's window was started at step t-1
+    # (tile 0's at step 0); start tile t+1's now so the next grid step's
+    # compute overlaps this DMA instead of stalling on it
+    @pl.when(t == 0)
+    def _():
+        _window_dma(pay_hbm, tstart_ref, scratch, sem, 0, t, k_cap).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _window_dma(
+            pay_hbm, tstart_ref, scratch, sem, 1 - slot, t + 1, k_cap
+        ).start()
+
+    _window_dma(pay_hbm, tstart_ref, scratch, sem, slot, t, k_cap).wait()
+    # tail rows (>= cnt) hold garbage from neighboring windows; every field
+    # read is sanitized inside _chunk_fields (no full-window zero-fill)
+    buf = scratch.at[slot]
+    ox, oy = _origin(grid_x, meta_ref[0])
+    basis = _pixel_basis()
     n_chunks = jax.lax.div(cnt + (k_chunk - 1), k_chunk)
 
-    def body(c, carry):
-        acc, carry_raw, carry_live = carry
-        alpha, _, _, _, _, _, feat = _chunk_fields(
-            scratch, c, k_chunk, cnt, ox, oy
-        )
-        logs = jnp.log1p(-alpha)  # [Kc, P]
-        s_incl = carry_raw + _scan_incl_sub(logs, interpret)
-        cp = jnp.exp(s_incl)
+    def body(carry):
+        c, acc, carry_t, t_live = carry
+        alpha, _, _, _, feat = _chunk_fields(buf, c, k_chunk, cnt, basis,
+                                             ox, oy)
+        one_minus = 1.0 - alpha  # [Kc, P]
+        p_incl = _scan_prod_sub(one_minus, interpret)
+        t_before = carry_t * _shift_down_one(p_incl, interpret)
+        cp = carry_t * p_incl  # T inclusive of this pair
         live = cp >= T_EPS
-        t_before = cp / (1.0 - alpha)
         w = jnp.where(live, alpha * t_before, 0.0)  # [Kc, P]
         acc = acc + jax.lax.dot_general(
             w, feat, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HI,
         )  # [P, 5]
-        carry_live = carry_live + jnp.sum(
-            jnp.where(live, logs, 0.0), axis=0, keepdims=True
+        # final_t advances only while live — the CUDA per-pixel `done`
+        # freeze (forward.cu:371-377). cp decreases monotonically and live
+        # is a prefix property, so the frozen T (product of one_minus over
+        # live pairs) is exactly the running MIN of live-masked cp — a
+        # reduce_min, which Mosaic lowers (reduce_prod does not).
+        t_live = jnp.minimum(
+            t_live, jnp.min(jnp.where(live, cp, 1.0), axis=0, keepdims=True)
         )
-        return acc, s_incl[-1:, :], carry_live
+        return c + 1, acc, cp[-1:, :], t_live
 
-    acc, _, carry_live = jax.lax.fori_loop(
-        0, n_chunks, body,
-        (jnp.zeros((P, 5), jnp.float32), jnp.zeros((1, P), jnp.float32),
-         jnp.zeros((1, P), jnp.float32)),
-    )
+    init = (jnp.int32(0), jnp.zeros((P, 5), jnp.float32),
+            jnp.ones((1, P), jnp.float32), jnp.ones((1, P), jnp.float32))
+    if early_exit:
+        # chunk-granular early out, exact: once every pixel's T is already
+        # below T_EPS, live==False for every remaining pair. Costs one
+        # vector->scalar sync per chunk (the while cond), so it is a static
+        # toggle: ON for saturating scenes (opaque ground coverage), OFF
+        # when tiles rarely die before their count runs out.
+        def cond(carry):
+            c, _, carry_t, _ = carry
+            return (c < n_chunks) & (jnp.max(carry_t) >= T_EPS)
+
+        _, acc, _, t_live = jax.lax.while_loop(cond, body, init)
+    else:
+        _, acc, _, t_live = jax.lax.fori_loop(
+            0, n_chunks, lambda i, carry: body(carry), init
+        )
     out_ref[0] = jnp.concatenate(
-        [acc, jnp.exp(carry_live).T, jnp.zeros((P, 2), jnp.float32)], axis=1
+        [acc, t_live.T, jnp.zeros((P, 2), jnp.float32)], axis=1
     )
 
 
-def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, fwd_ref, gpay_hbm,
-                scratch, gscratch, sem, gsem, *, k_cap, k_chunk, grid_x,
-                interpret):
+def _bwd_kernel(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref, fwd_ref,
+                gpay_hbm, scratch, gscratch, sem, gsem, *, k_cap, k_chunk,
+                grid_x, n_tiles, early_exit, interpret):
     t = pl.program_id(0)
     start = tstart_ref[t]
     cnt = jnp.minimum(cnt_ref[t], k_cap)
-    dma = pltpu.make_async_copy(
-        pay_hbm.at[pl.ds(start, k_cap), :], scratch, sem
-    )
-    dma.start()
-    dma.wait()
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (k_cap, 1), 0)
-    scratch[:, :] = jnp.where(rowid < cnt, scratch[:, :], 0.0)
-    ox, oy = _origin(grid_x)
+    slot = jax.lax.rem(t, 2)
+
+    # double-buffered payload prefetch (same schedule as _fwd_kernel)
+    @pl.when(t == 0)
+    def _():
+        _window_dma(pay_hbm, tstart_ref, scratch, sem, 0, t, k_cap).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _window_dma(
+            pay_hbm, tstart_ref, scratch, sem, 1 - slot, t + 1, k_cap
+        ).start()
+
+    _window_dma(pay_hbm, tstart_ref, scratch, sem, slot, t, k_cap).wait()
+    buf = scratch.at[slot]  # tail garbage sanitized in _chunk_fields
+    gbuf = gscratch.at[slot]
+    ox, oy = _origin(grid_x, meta_ref[0])
+    basis = _pixel_basis()
     n_chunks = jax.lax.div(cnt + (k_chunk - 1), k_chunk)
     g_pix = gout_ref[0, :, :5]  # [P, 5]
     g_ft = gout_ref[0, :, 5:6].T  # [1, P]
@@ -176,22 +310,19 @@ def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, fwd_ref, gpay_hbm,
         fwd_ref[0, :, :5] * g_pix, axis=1, keepdims=True
     ).T  # [1, P]
 
-    gscratch[:, :] = jnp.zeros((k_cap, NFF), jnp.float32)
-
     # single pass: per-pair gradients, written back at the chunk's rows
     # (suffix sums via total - inclusive prefix; liveness recomputed from
     # the front-to-back transmittance scan this pass already performs)
-    def body2(c, carry):
-        carry_raw, prefix = carry
-        alpha, g, dx, dy, keep, (ca, cb, cc, op), feat = _chunk_fields(
-            scratch, c, k_chunk, cnt, ox, oy
+    def body2(carry):
+        c, carry_t, prefix = carry
+        alpha, g, keep, (mx, my, ca, cb, cc, op), feat = _chunk_fields(
+            buf, c, k_chunk, cnt, basis, ox, oy
         )
         one_minus = 1.0 - alpha
-        logs = jnp.log1p(-alpha)
-        s_incl = carry_raw + _scan_incl_sub(logs, interpret)
-        cp = jnp.exp(s_incl)
+        p_incl = _scan_prod_sub(one_minus, interpret)
+        t_before = carry_t * _shift_down_one(p_incl, interpret)
+        cp = carry_t * p_incl
         live = cp >= T_EPS
-        t_before = cp / one_minus
         w = jnp.where(live, alpha * t_before, 0.0)
         fdot = jax.lax.dot_general(
             feat, g_pix, (((1,), (1,)), ((), ())),
@@ -208,13 +339,31 @@ def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, fwd_ref, gpay_hbm,
         g_alpha = fdot * t_before - (suffix + final_t * g_ft) / one_minus
         g_alpha = jnp.where(live & keep, g_alpha, 0.0)  # [Kc, P]
 
-        g_opac = jnp.sum(g_alpha * g, axis=1)  # [Kc]
-        gG = g_alpha * op[:, None] * g
-        g_mx = jnp.sum(gG * (-(ca[:, None] * dx) - cb[:, None] * dy), axis=1)
-        g_my = jnp.sum(gG * (-(cc[:, None] * dy) - cb[:, None] * dx), axis=1)
-        g_ca = jnp.sum(gG * (-0.5 * dx * dx), axis=1)
-        g_cb = jnp.sum(gG * (-dx * dy), axis=1)
-        g_cc = jnp.sum(gG * (-0.5 * dy * dy), axis=1)
+        # All six per-pair gradient reductions over the pixels collapse to
+        # ONE [Kc,P]@[P,6] matmul against the same pixel basis:
+        #   S = gG @ (1, px, py, px^2, py^2, px*py)^T
+        # then dL/d{mean2d, conic} are per-pair [Kc] combinations of S and
+        # (mx, my, ca, cb, cc) — the dx/dy expansions evaluated on the MXU.
+        gG = g_alpha * (op[:, None] * g)
+        S = jax.lax.dot_general(
+            gG, basis, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # [Kc, 6]: S0, Sx, Sy, Sxx, Syy, Sxy
+        s0, sx, sy = S[:, 0], S[:, 1], S[:, 2]
+        sxx, syy, sxy = S[:, 3], S[:, 4], S[:, 5]
+        gdx = mx * s0 - sx  # sum gG*dx
+        gdy = my * s0 - sy
+        gdxx = mx * mx * s0 - 2.0 * mx * sx + sxx  # sum gG*dx^2
+        gdyy = my * my * s0 - 2.0 * my * sy + syy
+        gdxy = mx * my * s0 - mx * sy - my * sx + sxy
+        g_mx = -(ca * gdx + cb * gdy)
+        g_my = -(cc * gdy + cb * gdx)
+        g_ca = -0.5 * gdxx
+        g_cb = -gdxy
+        g_cc = -0.5 * gdyy
+        # sum g_alpha*g = S0 / op (gG = g_alpha*g*op, op constant per pair;
+        # op == 0 only on sanitized garbage rows, whose gG is exactly 0)
+        g_opac = jnp.where(op > 0.0, s0 / jnp.where(op > 0.0, op, 1.0), 0.0)
         g_feat = jnp.dot(
             w, g_pix, preferred_element_type=jnp.float32, precision=HI
         )  # [Kc, 5]
@@ -226,54 +375,93 @@ def _bwd_kernel(tstart_ref, cnt_ref, pay_hbm, gout_ref, fwd_ref, gpay_hbm,
             ],
             axis=1,
         )  # [Kc, NFF]
-        gscratch[pl.ds(c * k_chunk, k_chunk), :] = gchunk
-        return s_incl[-1:, :], prefix_inc[-1:, :]
+        gbuf[pl.ds(c * k_chunk, k_chunk), :] = gchunk
+        return c + 1, cp[-1:, :], prefix_inc[-1:, :]
 
-    jax.lax.fori_loop(
-        0, n_chunks, body2,
-        (jnp.zeros((1, P), jnp.float32), jnp.zeros((1, P), jnp.float32)),
-    )
-    gdma = pltpu.make_async_copy(
-        gscratch, gpay_hbm.at[pl.ds(start, k_cap), :], gsem
-    )
-    gdma.start()
-    gdma.wait()
+    def cond2(carry):
+        c, carry_t, _ = carry
+        return (c < n_chunks) & (jnp.max(carry_t) >= T_EPS)
+
+    init2 = (jnp.int32(0), jnp.ones((1, P), jnp.float32),
+             jnp.zeros((1, P), jnp.float32))
+    if early_exit:
+        walked, _, _ = jax.lax.while_loop(cond2, body2, init2)
+    else:
+        walked, _, _ = jax.lax.fori_loop(
+            0, n_chunks, lambda i, carry: body2(carry), init2
+        )
+
+    # the full k_cap window is DMA'd back, so chunks the loop did NOT walk
+    # (past cnt, or early-exited) must hold zeros — zero exactly those
+    # instead of pre-zeroing the whole [k_cap, NFF] buffer (the pre-zero
+    # cost was comparable to a chunk walk itself)
+    def zero_chunk(z, _):
+        gbuf[pl.ds(z * k_chunk, k_chunk), :] = jnp.zeros(
+            (k_chunk, NFF), jnp.float32
+        )
+        return _
+
+    jax.lax.fori_loop(walked, k_cap // k_chunk, zero_chunk, 0)
+    # Gradient write-back. Consecutive tiles' windows OVERLAP in their tails
+    # (window t+1 starts at start_t + cnt_t), and correctness of the tail
+    # overwrite (see module docstring) requires later tiles' writes to land
+    # AFTER earlier ones. So writes are ORDERED — wait for write t-1 before
+    # issuing write t — while staying async w.r.t. the next step's compute:
+    # write t-1 had all of step t's compute to drain, so this wait is ~free.
+    def _gwrite(s, tt):
+        return pltpu.make_async_copy(
+            gscratch.at[s],
+            gpay_hbm.at[pl.ds(tstart_ref[tt], k_cap), :],
+            gsem.at[s],
+        )
+
+    @pl.when(t >= 1)
+    def _():
+        _gwrite(1 - slot, t - 1).wait()
+
+    _gwrite(slot, t).start()
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        _gwrite(slot, t).wait()
 
 
 def _fused_fwd_call(pay_pad, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
-                    interpret):
+                    interpret, tile0=None, early_exit=True):
     kernel = functools.partial(
         _fwd_kernel, k_cap=k_cap, k_chunk=k_chunk, grid_x=grid_x,
-        interpret=interpret,
+        n_tiles=n_tiles, early_exit=early_exit, interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, P, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((k_cap, NFF), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, k_cap, NFF), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    if tile0 is None:
+        tile0 = jnp.zeros((1,), jnp.int32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, P, 8), jnp.float32),
         interpret=interpret,
-    )(tstart, cnt, pay_pad)
+    )(tile0, tstart, cnt, pay_pad)
 
 
 def _fused_bwd_call(pay_pad, gout, out8, tstart, cnt, n_tiles, k_cap,
-                    k_chunk, grid_x, interpret):
+                    k_chunk, grid_x, interpret, tile0=None, early_exit=True):
     kernel = functools.partial(
         _bwd_kernel, k_cap=k_cap, k_chunk=k_chunk, grid_x=grid_x,
-        interpret=interpret,
+        n_tiles=n_tiles, early_exit=early_exit, interpret=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -286,18 +474,20 @@ def _fused_bwd_call(pay_pad, gout, out8, tstart, cnt, n_tiles, k_cap,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((k_cap, NFF), jnp.float32),
-            pltpu.VMEM((k_cap, NFF), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, k_cap, NFF), jnp.float32),
+            pltpu.VMEM((2, k_cap, NFF), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    if tile0 is None:
+        tile0 = jnp.zeros((1,), jnp.int32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(pay_pad.shape, jnp.float32),
         interpret=interpret,
-    )(tstart, cnt, pay_pad, gout, out8)
+    )(tile0, tstart, cnt, pay_pad, gout, out8)
 
 
 class FusedOut(NamedTuple):
@@ -308,12 +498,12 @@ class FusedOut(NamedTuple):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
 )
 def _fused_sorted_blend(pay_cols, tile_tab, depth_tab, shape_info, tcap,
-                        k_chunk, interpret):
+                        k_chunk, interpret, early_exit=True):
     out, _ = _fused_fwd(pay_cols, tile_tab, depth_tab, shape_info, tcap,
-                        k_chunk, interpret)
+                        k_chunk, interpret, early_exit)
     return out
 
 
@@ -328,12 +518,9 @@ def _sort_and_range(pay_cols, tile_tab, depth_tab, n_tiles, tcap):
     materialized in padded form, once, in _fused_fwd."""
     p = tile_tab.shape[0]
     n = pay_cols[0].shape[0]
-    assert p == n * tcap, (p, n, tcap)  # dense [N, tcap] emission layout
+    assert p == n * tcap, (p, n, tcap)  # dense [tcap, N] emission layout
     tcap_b = p // n
-    em_cols = tuple(
-        jnp.broadcast_to(c[:, None], (n, tcap_b)).reshape(-1)
-        for c in pay_cols
-    )
+    em_cols = tuple(emission_broadcast(c, tcap_b) for c in pay_cols)
     iota = jnp.arange(p, dtype=jnp.int32)
     ops = (tile_tab, depth_tab, iota) + em_cols
     sorted_ops = jax.lax.sort(ops, num_keys=2)
@@ -347,7 +534,7 @@ def _sort_and_range(pay_cols, tile_tab, depth_tab, n_tiles, tcap):
 
 
 def _fused_fwd(pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk,
-               interpret):
+               interpret, early_exit=True):
     n_tiles, k_cap, grid_x = shape_info
     n = pay_cols[0].shape[0]
     f = len(pay_cols)
@@ -360,7 +547,8 @@ def _fused_fwd(pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk,
     pay_pad = jnp.zeros((p + k_cap, NFF), jnp.float32)
     pay_pad = pay_pad.at[:p, :f].set(jnp.stack(sorted_cols, axis=-1))
     out8 = _fused_fwd_call(
-        pay_pad, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x, interpret
+        pay_pad, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x, interpret,
+        early_exit=early_exit,
     )
     out = FusedOut(
         out8=out8,
@@ -372,13 +560,13 @@ def _fused_fwd(pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk,
     return out, res
 
 
-def _fused_bwd(shape_info, tcap, k_chunk, interpret, res, cots):
+def _fused_bwd(shape_info, tcap, k_chunk, interpret, early_exit, res, cots):
     n_tiles, k_cap, grid_x = shape_info
     pay_pad, out8, sort_tile, src_idx, tstart, cnt, n, f = res
     g_out8 = cots.out8
     gpay_pad = _fused_bwd_call(
         pay_pad, g_out8, out8, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
-        interpret,
+        interpret, early_exit=early_exit,
     )
     # back to emission order: the kernel wrote gradient rows at SORTED
     # positions, and src_idx is the emission index of each sorted row, so
@@ -403,7 +591,7 @@ def _fused_bwd(shape_info, tcap, k_chunk, interpret, res, cots):
     )
     sorted_out = jax.lax.sort((src_idx,) + gcols, num_keys=1)
     g_cols = tuple(
-        c.reshape(n, tcap_b).sum(axis=1) for c in sorted_out[1:]
+        emission_reduce(c, n, tcap_b) for c in sorted_out[1:]
     )
     zeros_keys = jnp.zeros((p,), jnp.float32)
     return (g_cols, zeros_keys, zeros_keys)
@@ -423,6 +611,7 @@ def rasterize_fused(
     tile_capacity: int,
     k_chunk: int,
     interpret: bool = False,
+    early_exit: bool = True,
 ):
     """Differentiable fused path. Returns FusedOut (out8 pre-background)."""
     grid_x, grid_y = grid_dims(width, height)
@@ -436,7 +625,8 @@ def rasterize_fused(
     ) + tuple(features[:, j] for j in range(features.shape[1]))
     shape_info = (n_tiles, tile_capacity, grid_x)
     out = _fused_sorted_blend(
-        pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk, interpret
+        pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk, interpret,
+        early_exit,
     )
     num_pairs = jnp.sum(prep.tiles_touched)
     return out._replace(num_pairs=num_pairs)

@@ -61,15 +61,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_gaussian_state(state, mesh: Mesh, axis: str = "g"):
     """Place a TrainState's Gaussian-N-major arrays on the gauss axis and
-    replicate everything else."""
-    gs = gauss_sharding(mesh, axis)
-    rep = replicated(mesh)
+    replicate everything else. Works under multi-process meshes too (host-
+    replicated state in, process-spanning global arrays out)."""
+    from eogs2_tpu.parallel.distributed import make_global_array
 
     def place_params(p):
-        return jax.device_put(p, gs)
+        return make_global_array(p, mesh, P(axis))
 
     def place_rep(p):
-        return jax.device_put(p, rep)
+        return make_global_array(p, mesh, P())
 
     params = jax.tree.map(place_params, state.params)
     aux = jax.tree.map(place_params, state.aux)

@@ -1,25 +1,35 @@
 """Multi-chip rasterization: Gaussian-sharded preprocess, tile-sharded blend,
 all_to_all pair exchange — the scalable path (SURVEY.md section 7, all-new
-relative to the single-GPU reference).
+relative to the single-GPU reference), running the SAME fused Pallas blend
+kernels as the single-chip rasterizer (ops/fused_raster.py).
 
 Data flow per chip (shard_map over mesh axis "g"):
 
   1. preprocess its N/n Gaussians (pure jnp, local)
-  2. emit the dense local pair table [Nl, Tcap] with *materialized* payload
-     (mean2d, conic, opacity, features) — 16 floats per pair. Carrying the
-     payload through the exchange avoids any cross-chip gather afterwards;
-     the gradient of the payload materialization flows back to the owning
-     chip through the transposed all_to_all automatically.
-  3. route each pair to the chip owning its tile ROW BAND (image rows are
-     split contiguously so SSIM/conv halos stay local): bucket-compact the
-     local pairs per destination into a [n, cap, F] buffer (one local sort
-     by destination), then jax.lax.all_to_all over "g".
-  4. locally sort the received pairs by (tile, depth) — every pair of a tile
-     lands on its owner, so the per-tile order is globally correct.
-  5. dense [T_band, K] view + blend -> the chip's image band.
+  2. emit the local [tcap * Nl] pair table as 1-D payload columns
+     (tcap-major, ops/pair_pipeline._emission_keys)
+  3. ONE local sort by destination band groups pairs per destination chip
+     (image tile rows are split contiguously so SSIM/conv halos stay local);
+     contiguous per-destination windows are cut with dynamic_slice and
+     exchanged with ONE jax.lax.all_to_all, payload riding the exchange (no
+     cross-chip gather exists in either direction)
+  4. ONE local sort by (tile, depth) — every pair of a tile lands on its
+     owner, so per-tile order is globally correct — then the fused Pallas
+     blend kernel walks each tile's contiguous row window (with the same
+     chunk-level early exit as single-chip)
 
-Losses can then be computed bandwise + psum, or the bands all-gathered.
-Per-destination capacity is static; overflow is observable via counts.
+The WHOLE exchange+sort+blend is one jax.custom_vjp: the backward runs the
+fused backward kernel, un-sorts gradient rows to receive order (one sort),
+routes them back through the TRANSPOSED all_to_all, rebuilds the
+pre-exchange order with sequential dynamic_update_slice windows (later
+windows overwrite earlier windows' zero tails — positions of real rows never
+collide), and un-sorts to emission order (one sort). No scatter appears
+anywhere; gradients of dropped pairs (per-destination capacity overflow) are
+exactly the forward's clipping (zero).
+
+Losses are computed on the row-band-sharded image under the surrounding
+GSPMD jit, which inserts halo exchanges where needed; parameter gradients
+flow back to the owning chip automatically.
 """
 
 from __future__ import annotations
@@ -32,47 +42,310 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from eogs2_tpu.ops.binning import grid_dims
-from eogs2_tpu.ops.blend import blend_tiles
-from eogs2_tpu.ops.gaussians import build_cov3d
+from eogs2_tpu.ops.fused_raster import (
+    NFF,
+    _fused_bwd_call,
+    _fused_fwd_call,
+)
+from eogs2_tpu.ops.pair_pipeline import _emission_keys, emission_broadcast
 from eogs2_tpu.ops.projection import TILE, compute_cov2d_direct, preprocess_gaussians
 
-NF = 16  # payload floats per pair: mx,my,ca,cb,cc,op,f0..f4,mask,pad
+NF_PAY = 11  # payload floats per pair: mx,my,ca,cb,cc,op,f0..f4
 
 
-def _emit_local_pairs(prep, feat, width, height, tcap):
-    """Dense [Nl*tcap] pair table with tile ids and packed payload."""
-    grid_x, grid_y = grid_dims(width, height)
-    n_tiles = grid_x * grid_y
-    nl = prep.depth.shape[0]
+class A2AStatics(NamedTuple):
+    n_shards: int
+    tiles_per_band: int
+    n_tiles: int
+    grid_x: int
+    dest_cap: int
+    k_cap: int
+    k_chunk: int
+    interpret: bool
+    axis: str
 
-    tiles = jnp.minimum(prep.tiles_touched, tcap)
-    t = jnp.arange(tcap, dtype=jnp.int32)[None, :]
-    rw = jnp.maximum(prep.rect_size[:, 0], 1)[:, None]
-    ty = t // rw
-    tx = t - ty * rw
-    tile_id = (prep.rect_min[:, 1][:, None] + ty) * grid_x + (
-        prep.rect_min[:, 0][:, None] + tx
+
+def _windows(col, starts, dest_cap, n_shards):
+    """Cut [pl] sorted column into per-destination [n_shards, dest_cap]
+    contiguous windows (window d starts at starts[d]; padded in-bounds)."""
+    pad = jnp.zeros((dest_cap,), col.dtype)
+    col_p = jnp.concatenate([col, pad])
+    return jnp.stack([
+        jax.lax.dynamic_slice(col_p, (starts[d],), (dest_cap,))
+        for d in range(n_shards)
+    ])
+
+
+def _unwindows(gwin, starts, pl, dest_cap, n_shards):
+    """Transpose of _windows: place window rows back at their sorted
+    positions. Window d's tail rows (send pads) carry exactly-zero
+    gradients, and window d+1 starts at or before window d's end, so
+    sequential updates in increasing d overwrite every zero tail that
+    overlaps a later window's real rows."""
+    buf = jnp.zeros((pl + dest_cap,), gwin.dtype)
+    for d in range(n_shards):
+        buf = jax.lax.dynamic_update_slice(buf, gwin[d], (starts[d],))
+    return buf[:pl]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _a2a_blend(pay_cols, tile_tab, depth_tab, statics: A2AStatics):
+    out, _ = _a2a_fwd(pay_cols, tile_tab, depth_tab, statics)
+    return out
+
+
+def _a2a_fwd(pay_cols, tile_tab, depth_tab, statics: A2AStatics):
+    s = statics
+    pl_ = tile_tab.shape[0]
+    band = jax.lax.axis_index(s.axis)
+    tile0 = (band * s.tiles_per_band).astype(jnp.int32)
+
+    # destination band of each pair; invalid pads last
+    dest = jnp.minimum(tile_tab // float(s.tiles_per_band),
+                       float(s.n_shards) - 1.0)
+    dest = jnp.where(tile_tab >= s.n_tiles, float(s.n_shards), dest)
+
+    em = jnp.arange(pl_, dtype=jnp.int32)
+    sort1 = jax.lax.sort(
+        (dest, em, tile_tab, depth_tab) + pay_cols, num_keys=1
     )
-    valid = t < tiles[:, None]
-    tile_tab = jnp.where(valid, tile_id, n_tiles).reshape(-1)
-    depth_tab = jnp.broadcast_to(prep.depth[:, None], (nl, tcap)).reshape(-1)
+    em_s, tile_s, depth_s = sort1[1], sort1[2], sort1[3]
+    cols_s = sort1[4:]
+    dvals = jnp.arange(s.n_shards, dtype=jnp.float32)
+    starts = jnp.searchsorted(sort1[0], dvals).astype(jnp.int32)
+    counts = (
+        jnp.searchsorted(sort1[0], dvals + 1.0).astype(jnp.int32) - starts
+    )
 
-    payload = jnp.concatenate(
-        [
-            prep.mean2d,
-            prep.conic,
-            prep.opacity[:, None],
-            feat,
-            jnp.ones((nl, 1), feat.dtype),
-            jnp.zeros((nl, NF - 12), feat.dtype),
-        ],
-        axis=1,
-    )  # [Nl, NF]
-    payload_tab = jnp.broadcast_to(
-        payload[:, None, :], (nl, tcap, NF)
-    ).reshape(-1, NF)
-    payload_tab = payload_tab * valid.reshape(-1, 1)
-    return tile_tab, depth_tab, payload_tab
+    slot = jnp.arange(s.dest_cap, dtype=jnp.int32)
+    ok = slot[None, :] < jnp.minimum(counts, s.dest_cap)[:, None]
+    send_tile = jnp.where(ok, _windows(tile_s, starts, s.dest_cap, s.n_shards),
+                          float(s.n_tiles))
+    send_depth = jnp.where(ok, _windows(depth_s, starts, s.dest_cap, s.n_shards),
+                           jnp.inf)
+    send_cols = tuple(
+        jnp.where(ok, _windows(c, starts, s.dest_cap, s.n_shards), 0.0)
+        for c in cols_s
+    )
+
+    a2a = lambda x: jax.lax.all_to_all(x, s.axis, 0, 0, tiled=True)
+    recv_tile = a2a(send_tile).reshape(-1)
+    recv_depth = a2a(send_depth).reshape(-1)
+    recv_cols = tuple(a2a(c).reshape(-1) for c in send_cols)
+    r = recv_tile.shape[0]  # n_shards * dest_cap
+
+    pos = jnp.arange(r, dtype=jnp.int32)
+    sort2 = jax.lax.sort((recv_tile, recv_depth, pos) + recv_cols, num_keys=2)
+    sort_tile, recv_pos_s = sort2[0], sort2[2]
+    sorted_cols = sort2[3:]
+
+    tids = (tile0.astype(jnp.float32)
+            + jnp.arange(s.tiles_per_band, dtype=jnp.float32))
+    tstart = jnp.searchsorted(sort_tile, tids).astype(jnp.int32)
+    tend = jnp.searchsorted(sort_tile, tids + 1.0).astype(jnp.int32)
+    cnt = tend - tstart
+
+    pay_pad = jnp.zeros((r + s.k_cap, NFF), jnp.float32)
+    pay_pad = pay_pad.at[:r, :NF_PAY].set(jnp.stack(sorted_cols, axis=-1))
+    out8 = _fused_fwd_call(
+        pay_pad, tstart, cnt, s.tiles_per_band, s.k_cap, s.k_chunk,
+        s.grid_x, s.interpret, tile0=tile0[None],
+    )
+    stats = jnp.stack([jnp.max(cnt), jnp.max(counts)])
+    res = (pay_pad, out8, sort_tile, recv_pos_s, em_s, starts, tstart, cnt,
+           tile0, pl_)
+    return (out8, stats), res
+
+
+def _a2a_bwd(statics: A2AStatics, res, cots):
+    s = statics
+    (pay_pad, out8, sort_tile, recv_pos_s, em_s, starts, tstart, cnt,
+     tile0, pl_) = res
+    g_out8, _ = cots  # stats cotangent discarded
+    r = sort_tile.shape[0]
+    gpay = _fused_bwd_call(
+        pay_pad, g_out8, out8, tstart, cnt, s.tiles_per_band, s.k_cap,
+        s.k_chunk, s.grid_x, s.interpret, tile0=tile0[None],
+    )
+    # rows no tile window wrote are uninitialized -> mask via the window map
+    pos = jnp.arange(r, dtype=jnp.int32)
+    tloc = sort_tile.astype(jnp.int32) - tile0
+    in_range = (tloc >= 0) & (tloc < s.tiles_per_band)
+    tloc_c = jnp.clip(tloc, 0, s.tiles_per_band - 1)
+    k = pos - jnp.take(tstart, tloc_c)
+    ok = in_range & (k < s.k_cap)
+    gcols = tuple(jnp.where(ok, gpay[:r, j], 0.0) for j in range(NF_PAY))
+
+    # un-sort2 back to receive order (recv_pos_s is a permutation of 0..r-1)
+    back2 = jax.lax.sort((recv_pos_s,) + gcols, num_keys=1)
+    g_recv = tuple(c.reshape(s.n_shards, s.dest_cap) for c in back2[1:])
+
+    # transposed exchange: my gradient rows for pairs I sent to chip d
+    a2a = lambda x: jax.lax.all_to_all(x, s.axis, 0, 0, tiled=True)
+    g_send = tuple(a2a(c) for c in g_recv)
+
+    # back to sort1 positions (sequential window updates; zero tails of
+    # earlier windows are overwritten by later windows' real rows)
+    g_sorted1 = tuple(
+        _unwindows(c, starts, pl_, s.dest_cap, s.n_shards) for c in g_send
+    )
+
+    # un-sort1 back to emission order (em_s is a permutation of 0..pl-1)
+    back1 = jax.lax.sort((em_s,) + g_sorted1, num_keys=1)
+    g_cols = tuple(back1[1:])
+    zeros = jnp.zeros((pl_,), jnp.float32)
+    return (g_cols, zeros, zeros)
+
+
+_a2a_blend.defvjp(lambda *a: _a2a_fwd(*a), _a2a_bwd)
+
+
+def sharded_rasterize(
+    mesh: Mesh,
+    means3d, scales, quats, opacities, feat, alive, affine, bg,
+    width: int, height: int,
+    tcap: int = 8,
+    dest_cap: int = 1 << 15,
+    tile_capacity: int = 512,
+    k_chunk: int = 128,
+    axis: str = "g",
+    mean2d_ndc_offset=None,
+    interpret=None,
+):
+    """Differentiable multi-chip render with Gaussians sharded over `axis`.
+
+    Inputs as eogs2_tpu.rasterize (N divisible by the axis size; the padded
+    tile-row count must divide by it). Returns a dict: image [C,Hp,Wp]
+    (row-band sharded, background composited), final_t [Hp,Wp], radii [N],
+    mean2d_ndc [N,2], max_tile_count, max_dest_count.
+    """
+    from jax import shard_map
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    grid_x, grid_y = grid_dims(width, height)
+    n_shards = mesh.shape[axis]
+    assert grid_y % n_shards == 0, (
+        f"tile rows {grid_y} not divisible by mesh axis {n_shards}"
+    )
+    tiles_per_band = (grid_y // n_shards) * grid_x
+    statics = A2AStatics(
+        n_shards=n_shards, tiles_per_band=tiles_per_band,
+        n_tiles=grid_x * grid_y, grid_x=grid_x, dest_cap=dest_cap,
+        k_cap=tile_capacity, k_chunk=k_chunk, interpret=interpret, axis=axis,
+    )
+
+    def shard_fn(means3d, scales, quats, opacities, feat, alive, m2d_off,
+                 affine, bg):
+        cov2d = compute_cov2d_direct(scales, quats, affine, width, height)
+        prep = preprocess_gaussians(
+            means3d, None, opacities, affine, width, height, alive=alive,
+            cov2d=cov2d,
+        )
+        if m2d_off is not None:
+            px_scale = jnp.array([0.5 * width, 0.5 * height], jnp.float32)
+            prep = prep._replace(mean2d=prep.mean2d + m2d_off * px_scale)
+        tile_tab, depth_tab, _ = _emission_keys(
+            jax.tree.map(jax.lax.stop_gradient, prep), width, height, tcap
+        )
+        pay_cols = tuple(
+            emission_broadcast(c, tcap)
+            for c in (
+                prep.mean2d[:, 0], prep.mean2d[:, 1],
+                prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+                prep.opacity,
+            ) + tuple(feat[:, j] for j in range(feat.shape[1]))
+        )
+        (out8, stats) = _a2a_blend(pay_cols, tile_tab, depth_tab, statics)
+        # [T_band, P, 8] -> row-band image [C, rows*TILE, W]
+        rows_per = tiles_per_band // grid_x
+        img8 = out8.reshape(rows_per, grid_x, TILE, TILE, 8)
+        img8 = img8.transpose(4, 0, 2, 1, 3).reshape(
+            8, rows_per * TILE, grid_x * TILE
+        )
+        final_t = img8[5]
+        image = img8[:5] + final_t[None] * bg[:, None, None]
+        stats = jax.lax.stop_gradient(
+            jax.lax.pmax(jax.lax.stop_gradient(stats), axis)
+        )  # replicate for the P(None) out spec
+        # per-chip emitted pair count (valid emissions from THIS chip's
+        # Gaussian shard): evidence of real work division across chips
+        local_pairs = jnp.sum(
+            (tile_tab < float(statics.n_tiles)).astype(jnp.int32)
+        )[None]
+        mtg = jnp.max(jnp.minimum(prep.tiles_touched, tcap))[None]
+        stats = jnp.concatenate(
+            [stats, jax.lax.pmax(jax.lax.stop_gradient(mtg), axis)]
+        )
+        return image, final_t, prep.radius, stats, local_pairs
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(), P()),
+        out_specs=(P(None, axis, None), P(axis), P(axis), P(None), P(axis)),
+        check_vma=False,
+    )
+    if mean2d_ndc_offset is None:
+        mean2d_ndc_offset = jnp.zeros((means3d.shape[0], 2), jnp.float32)
+    image, final_t, radii, stats, pairs_per_chip = fn(
+        means3d, scales, quats, opacities, feat, alive, mean2d_ndc_offset,
+        affine, bg,
+    )
+    return dict(
+        image=image, final_t=final_t, radii=radii,
+        max_tile_count=stats[0], max_dest_count=stats[1],
+        max_tiles_per_gaussian_seen=stats[2], pairs_per_chip=pairs_per_chip,
+    )
+
+
+def rasterize_a2a(
+    mesh: Mesh,
+    means3d, scales, quats, opacities, feat, affine, bg,
+    width: int, height: int,
+    config,
+    alive=None,
+    mean2d_ndc_offset=None,
+    axis: str = "g",
+):
+    """Drop-in `eogs2_tpu.rasterize` replacement running the all_to_all
+    multi-chip path — same RasterOut contract, so the training step can
+    swap backends without touching loss code.
+
+    Pads the canvas height up to a TILE*n_shards multiple (empty extra
+    tiles cost ~nothing) and crops the band-assembled image back, so any
+    TILE-multiple canvas works on any mesh size. num_pairs reports the
+    LARGEST per-destination window (the a2a capacity that can overflow,
+    vs config.dest_cap)."""
+    from eogs2_tpu.rasterizer import RasterOut
+
+    n = means3d.shape[0]
+    n_shards = mesh.shape[axis]
+    assert n % n_shards == 0, (n, n_shards)
+    if alive is None:
+        alive = jnp.ones((n,), bool)
+    row_q = TILE * n_shards
+    hp = ((height + row_q - 1) // row_q) * row_q
+    k_chunk = next(
+        d for d in (128, 256, 64, config.tile_capacity)
+        if config.tile_capacity % d == 0
+    )
+    out = sharded_rasterize(
+        mesh, means3d, scales, quats, opacities, feat, alive, affine, bg,
+        width, hp, tcap=config.max_tiles_per_gaussian,
+        dest_cap=config.dest_cap, tile_capacity=config.tile_capacity,
+        k_chunk=k_chunk, axis=axis, mean2d_ndc_offset=mean2d_ndc_offset,
+    )
+    return RasterOut(
+        image=out["image"][:, :height, :width],
+        final_t=out["final_t"][:height, :width],
+        radii=out["radii"],
+        mean2d_ndc=jnp.zeros((n, 2), jnp.float32),
+        num_pairs=out["max_dest_count"],
+        max_tile_count=out["max_tile_count"],
+        max_tiles_per_gaussian_seen=out["max_tiles_per_gaussian_seen"],
+    )
 
 
 def sharded_render(
@@ -85,110 +358,18 @@ def sharded_render(
     tile_chunk: int = 64,
     axis: str = "g",
 ):
-    """Render the full image with Gaussians sharded over mesh axis `axis`.
+    """Back-compat wrapper over sharded_rasterize.
 
-    Inputs: means3d [N,3] etc. (N divisible by the axis size), affine [3,4],
-    bg [C]. The padded image height must give a tile-row count divisible by
-    the axis size. Returns (image [C,Hp,Wp], max_tile_count, max_dest_count).
+    Returns (image [C,Hp,Wp], stats [max_tile_count, max_dest_count]).
     """
-    from jax import shard_map
-
-    grid_x, grid_y = grid_dims(width, height)
-    n_shards = mesh.shape[axis]
-    assert grid_y % n_shards == 0, (
-        f"tile rows {grid_y} not divisible by mesh axis {n_shards}"
+    k_chunk = next(
+        d for d in (128, 256, 64, tile_capacity) if tile_capacity % d == 0
     )
-    rows_per = grid_y // n_shards
-    tiles_per_band = rows_per * grid_x
-    n_tiles = grid_x * grid_y
-
-    def shard_fn(means3d, scales, quats, opacities, feat, alive, affine, bg):
-        cov2d = compute_cov2d_direct(scales, quats, affine, width, height)
-        prep = preprocess_gaussians(
-            means3d, None, opacities, affine, width, height, alive=alive,
-            cov2d=cov2d,
-        )
-        tile_tab, depth_tab, payload_tab = _emit_local_pairs(
-            prep, feat, width, height, tcap
-        )
-
-        dest = jnp.minimum(tile_tab // tiles_per_band, n_shards - 1)
-        dest = jnp.where(tile_tab >= n_tiles, n_shards, dest)
-
-        order1 = jax.lax.sort(
-            (dest, jnp.arange(dest.shape[0], dtype=jnp.int32)), num_keys=1
-        )[1]
-        dest_s = dest[order1]
-        tile_s = tile_tab[order1]
-        depth_s = depth_tab[order1]
-        pay_s = payload_tab[order1]
-
-        starts = jnp.searchsorted(dest_s, jnp.arange(n_shards)).astype(jnp.int32)
-        counts = (
-            jnp.searchsorted(dest_s, jnp.arange(n_shards) + 1).astype(jnp.int32)
-            - starts
-        )
-        slot = jnp.arange(dest_cap, dtype=jnp.int32)
-        src_idx = jnp.clip(starts[:, None] + slot[None, :], 0, dest_s.shape[0] - 1)
-        ok = slot[None, :] < jnp.minimum(counts, dest_cap)[:, None]
-        send_tile = jnp.where(ok, tile_s[src_idx], n_tiles)
-        send_depth = jnp.where(ok, depth_s[src_idx], jnp.inf)
-        send_pay = pay_s[src_idx] * ok[:, :, None]
-
-        recv_tile = jax.lax.all_to_all(send_tile, axis, 0, 0, tiled=True)
-        recv_depth = jax.lax.all_to_all(send_depth, axis, 0, 0, tiled=True)
-        recv_pay = jax.lax.all_to_all(send_pay, axis, 0, 0, tiled=True)
-
-        flat_tile = recv_tile.reshape(-1)
-        flat_depth = recv_depth.reshape(-1)
-        flat_pay = recv_pay.reshape(-1, NF)
-
-        sort_tile, _, order2 = jax.lax.sort(
-            (flat_tile, flat_depth,
-             jnp.arange(flat_tile.shape[0], dtype=jnp.int32)),
-            num_keys=2,
-        )
-        pay_sorted = flat_pay[order2]
-
-        band = jax.lax.axis_index(axis)
-        tids = band * tiles_per_band + jnp.arange(tiles_per_band, dtype=jnp.int32)
-        tstart = jnp.searchsorted(sort_tile, tids).astype(jnp.int32)
-        tend = jnp.searchsorted(sort_tile, tids + 1).astype(jnp.int32)
-        k = jnp.arange(tile_capacity, dtype=jnp.int32)
-        pidx = tstart[:, None] + k[None, :]
-        mask = k[None, :] < jnp.minimum(tend - tstart, tile_capacity)[:, None]
-        pidx = jnp.where(mask, pidx, 0)
-        tile_pay = pay_sorted[pidx]
-
-        mean2d = tile_pay[..., 0:2]
-        conic = tile_pay[..., 2:5]
-        opac = tile_pay[..., 5]
-        feats = tile_pay[..., 6:11]
-        msk = mask & (tile_pay[..., 11] > 0.5)
-
-        tx = (tids % grid_x).astype(jnp.float32) * TILE
-        ty = (tids // grid_x).astype(jnp.float32) * TILE
-        origins = jnp.stack([tx, ty], axis=-1)
-
-        out, _ = blend_tiles(
-            mean2d, conic, opac, feats, msk, origins, bg, tile_chunk=tile_chunk
-        )
-        c = feats.shape[-1]
-        img = out.reshape(rows_per, grid_x, TILE, TILE, c)
-        img = img.transpose(0, 2, 1, 3, 4).reshape(rows_per * TILE, grid_x * TILE, c)
-        stats = jnp.stack([jnp.max(tend - tstart), jnp.max(counts)])
-        return img, stats
-
-    fn = shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
-        out_specs=(P(axis), P(axis)),
-        check_vma=False,
+    out = sharded_rasterize(
+        mesh, means3d, scales, quats, opacities, feat, alive, affine, bg,
+        width, height, tcap=tcap, dest_cap=dest_cap,
+        tile_capacity=tile_capacity, k_chunk=k_chunk, axis=axis,
     )
-    img_bands, stats = fn(
-        means3d, scales, quats, opacities, feat, alive, affine, bg
+    return out["image"], jnp.stack(
+        [out["max_tile_count"], out["max_dest_count"]]
     )
-    # bands concatenate along rows -> [Hp, Wp, C]; transpose to CHW
-    image = img_bands.transpose(2, 0, 1)
-    return image, stats

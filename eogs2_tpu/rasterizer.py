@@ -54,6 +54,14 @@ class RasterizeConfig:
     # "gather" (dense pair table) | "sorted" (sort-carried payloads) |
     # "fused" (sort-carried + ragged Pallas blend, no dense pair table)
     binning_mode: str = "gather"
+    # all_to_all multi-chip backend only: per-destination-chip exchange
+    # window (pairs one chip can send one band owner per render)
+    dest_cap: int = 1 << 16
+    # fused kernels: chunk-granular early exit once every pixel of a tile
+    # saturates (T < 1e-4). Exact, but each chunk pays a vector->scalar
+    # sync for the loop condition — enable for opaque/converged scenes,
+    # disable for translucent ones where tiles rarely die early.
+    early_exit: bool = True
 
     def bucketed(self, max_tile: int, max_tiles_per_gaussian: int) -> "RasterizeConfig":
         """Next power-of-two bucket that fits the observed sizes."""
@@ -164,6 +172,7 @@ def rasterize(
             tile_capacity=config.tile_capacity,
             k_chunk=k_chunk,
             interpret=jax.default_backend() == "cpu",
+            early_exit=config.early_exit,
         )
         out = fo.out8[:, :, :5] + fo.out8[:, :, 5:6] * bg[None, None, :]
         final_t = fo.out8[:, :, 5]

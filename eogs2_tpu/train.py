@@ -155,6 +155,8 @@ def make_train_step(
     gauss_tx,
     cam_tx,
     spatial_lr_scale: float,
+    mesh=None,
+    raster_backend: str = "gspmd",
 ):
     """Build the jitted step for one Phase. Returns step(state, view_idx,
     key, gates) -> (state, metrics).
@@ -169,6 +171,31 @@ def make_train_step(
     use_cc = cfg.model.camera_params.use_cc
     use_exposure = cfg.model.camera_params.use_exposure
     use_shadow = cfg.model.camera_params.use_shadow
+
+    if raster_backend == "a2a":
+        # the scalable multi-chip path: Gaussian-sharded preprocess,
+        # all_to_all pair exchange, tile-band-sharded fused Pallas blend
+        # (SURVEY §7 step 7) — same RasterOut contract as `rasterize`
+        assert mesh is not None, "raster_backend='a2a' needs a mesh"
+        from eogs2_tpu.parallel.sharded_raster import rasterize_a2a
+
+        def _raster(xyz, scaling, quats, opacity, feats, affine, bg, w, h,
+                    alive, mean2d_ndc_offset=None):
+            return rasterize_a2a(
+                mesh, xyz, scaling, quats, opacity, feats, affine, bg,
+                w, h, raster_cfg, alive=alive,
+                mean2d_ndc_offset=mean2d_ndc_offset,
+            )
+    else:
+        assert raster_backend == "gspmd", raster_backend
+
+        def _raster(xyz, scaling, quats, opacity, feats, affine, bg, w, h,
+                    alive, mean2d_ndc_offset=None):
+            return rasterize(
+                xyz, scaling, quats, opacity, feats, affine, bg, w, h,
+                raster_cfg, alive=alive,
+                mean2d_ndc_offset=mean2d_ndc_offset,
+            )
 
     lr_tree = GaussianParams(
         xyz=o.position_lr_init * spatial_lr_scale,
@@ -222,9 +249,9 @@ def make_train_step(
             scaling = jnp.exp(gparams.scaling)
             opacity = jax.nn.sigmoid(gparams.opacity[:, 0])
             cam_r = cam.resize_canvas(wp, hp)
-            out = rasterize(
+            out = _raster(
                 gparams.xyz, scaling, gparams.rotation, opacity, feats,
-                cam_r.affine, bg, wp, hp, raster_cfg, alive=aux.alive,
+                cam_r.affine, bg, wp, hp, aux.alive,
                 mean2d_ndc_offset=m2d_off,
             )
             raw_render = out.image[:3]
@@ -237,9 +264,9 @@ def make_train_step(
                     [rgb, vcam.ecef_to_uva(gparams.xyz)[:, 2:3], jnp.ones_like(alt)],
                     axis=-1,
                 )
-                vout = rasterize(
+                vout = _raster(
                     gparams.xyz, scaling, gparams.rotation, opacity, vfeats,
-                    vcam.affine, bg, vw, vh, raster_cfg, alive=aux.alive,
+                    vcam.affine, bg, vw, vh, aux.alive,
                 )
                 v_uv = jnp.einsum("ij,hwj->hwi", cam2virt, rendered_uva)[..., :2]
                 samp = grid_sample(vout.image[:4], v_uv, align_corners=True)
@@ -575,6 +602,12 @@ class Trainer:
     # grads are psum'd by the partitioner). Maintenance/densify are jitted
     # masked updates over the same sharded arrays, so they stay sharded too.
     mesh: Optional[object] = None
+    # "gspmd": GSPMD partitions the single-chip step over the mesh (sorts
+    # become cross-chip gathers — simple, works at small scale).
+    # "a2a": the explicit scalable path — Gaussian-sharded preprocess,
+    # ONE all_to_all pair exchange to tile-band owners, tile-sharded fused
+    # Pallas blend; requires mesh with a "g" axis, views_per_step == 1.
+    raster_backend: str = "gspmd"
     # >1: run up to this many iterations per dispatch (lax.scan inside one
     # jit) to amortize the per-dispatch host round trip; chunks break at
     # host events (logging, densify/reset cadence, eval, phase changes) so
@@ -695,6 +728,11 @@ class Trainer:
 
     def _get_step(self, phase: Phase):
         if phase not in self._steps:
+            if self.raster_backend == "a2a":
+                assert self.mesh is not None, "a2a backend needs a mesh"
+                assert self.cfg.optimization.views_per_step <= 1, (
+                    "a2a backend: vmap over views would nest shard_map"
+                )
             self._steps[phase] = make_train_step(
                 self._modalities(),
                 self.cfg,
@@ -703,6 +741,8 @@ class Trainer:
                 self.gauss_tx,
                 self.cam_tx,
                 spatial_lr_scale=self.scene.cameras_extent,
+                mesh=self.mesh,
+                raster_backend=self.raster_backend,
             )
         return self._steps[phase]
 

@@ -40,6 +40,7 @@ W = H = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 TCAP = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 KCAP = int(sys.argv[4]) if len(sys.argv) > 4 else 512
 KCHUNK = int(sys.argv[5]) if len(sys.argv) > 5 else 128
+EARLY_EXIT = bool(int(sys.argv[6])) if len(sys.argv) > 6 else True
 REPS = 10
 
 rng = np.random.RandomState(42)
@@ -61,7 +62,7 @@ bg = np.array([0, 0, 0, -1, 0], np.float32)
 )
 CFG = RasterizeConfig(
     tile_capacity=KCAP, tile_chunk=KCHUNK, max_tiles_per_gaussian=TCAP,
-    binning_mode="fused",
+    binning_mode="fused", early_exit=EARLY_EXIT,
 )
 
 
@@ -143,14 +144,16 @@ def f_paypad(z):
 
 def f_fwdkernel(z):
     out8 = FR._fused_fwd_call(pay_pad0 + z, tstart0, cnt0, n_tiles, KCAP,
-                              KCHUNK, grid_x, INTERP)
+                              KCHUNK, grid_x, INTERP,
+                              early_exit=EARLY_EXIT)
     return jnp.sum(out8[:, :, :6])
 
 
 def f_bwdkernel(z):
     g_out = jnp.ones_like(out8_0) * (1.0 + z)
     gpay = FR._fused_bwd_call(pay_pad0, g_out, out8_0, tstart0, cnt0,
-                              n_tiles, KCAP, KCHUNK, grid_x, INTERP)
+                              n_tiles, KCAP, KCHUNK, grid_x, INTERP,
+                              early_exit=EARLY_EXIT)
     return jnp.sum(gpay[:, :11])
 
 
@@ -159,6 +162,16 @@ def f_return_sort(z):
                   for j in range(11))
     s = jax.lax.sort((src_idx0,) + gcols, num_keys=1)
     return sum(jnp.sum(c.reshape(N, -1).sum(1)) for c in s[1:])
+
+
+def f_blendonly(z):
+    """sort + pay_pad + fwd kernel in ONE graph (no preprocess/keys): the
+    difference vs FULL fwd is the in-graph preprocess+keys contribution."""
+    out = FR._fused_sorted_blend(
+        tuple(c + z for c in pay_cols0), tile_tab0, depth_tab0,
+        (n_tiles, KCAP, grid_x), TCAP, KCHUNK, INTERP, EARLY_EXIT,
+    )
+    return jnp.sum(out.out8[:, :, :6])
 
 
 def f_fwd(z):
@@ -187,6 +200,7 @@ timeit("pay_pad materialize", f_paypad)
 timeit("fwd kernel", f_fwdkernel)
 timeit("bwd kernel", f_bwdkernel)
 timeit("emission-return sort+reduce", f_return_sort)
+timeit("sort+pack+fwdkernel (one graph)", f_blendonly)
 t_f = timeit("FULL fused fwd", f_fwd)
 t_fb = timeit("FULL fused fwd+bwd", f_fwdbwd)
 print(f"=> {W * H / t_fb / 1e6:.2f} Mrays/s fwd+bwd (in-graph)")

@@ -83,6 +83,27 @@ def main():
     timeit("1 packed i32 key + 11 payload", s_1keyi_pay, depth, packed_i)
     timeit("2 f32 keys + iota only", s_2key_iota, depth, tile)
 
+    # (e) row-bucketed: B independent sorts as ONE batched lax.sort along
+    # axis -1 of [B, ROWS/B] — the shape the tile-ROW bucketing produces.
+    # Sort cost is superlinear in the axis length, so if this wins big it
+    # justifies a bucketing pass (and it matches the sharded row bands).
+    for b in (8, 32, 64):
+        if ROWS % b:
+            continue
+        c = ROWS // b
+        tile_b = tile.reshape(b, c)
+        depth_b = depth.reshape(b, c)
+        iota_b = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None], (b, c))
+        pay_b = [x.reshape(b, c) for x in pay]
+
+        def s_batched(d, t, iota_b=iota_b, pay_b=pay_b):
+            out = jax.lax.sort((t, d, iota_b) + tuple(pay_b), num_keys=2,
+                               dimension=-1)
+            return out[2][0, 0].astype(jnp.float32) + out[3][0, 0]
+
+        timeit(f"2 keys + 11 payload batched B={b:3d}", s_batched,
+               depth_b, tile_b)
+
 
 
 

@@ -132,6 +132,60 @@ def test_sharded_trainer_dp_views(tmp_path):
     assert len(tr.state.params.xyz.sharding.device_set) == 8
 
 
+def test_a2a_work_division(mesh):
+    """The a2a path must actually DIVIDE work: each chip emits pairs only
+    for its own N/8 Gaussian shard (~1/8 of the total each for a uniform
+    scene), instead of replicating the full emission table."""
+    from eogs2_tpu.parallel.sharded_raster import sharded_rasterize
+
+    means, scales, quats, opac, feat, alive, affine, bg = _args(n=1024)
+    out = sharded_rasterize(
+        mesh, means, scales, quats, opac, feat, alive, affine, bg,
+        W, H, tcap=16, dest_cap=1 << 12, tile_capacity=256, k_chunk=16,
+    )
+    per_chip = np.asarray(out["pairs_per_chip"])
+    assert per_chip.shape == (8,)
+    total = per_chip.sum()
+    assert total > 0
+    # uniform scene: every shard carries real work, none carries the bulk
+    assert (per_chip > 0).all()
+    assert per_chip.max() < 0.5 * total
+
+
+def test_sharded_trainer_a2a_backend(mesh, tmp_path):
+    """Trainer(raster_backend='a2a'): the full optimizer step runs through
+    the all_to_all rasterizer (exchange + fused blend fwd/bwd inside the
+    jitted step) and trains — the VERDICT round-2 'scalable path is the
+    training path' requirement."""
+    import os
+
+    from eogs2_tpu.config import baseogs
+    from eogs2_tpu.data.synthetic import generate_scene
+    from eogs2_tpu.scene import load_scene
+    from eogs2_tpu.train import Trainer
+
+    d = str(tmp_path / "scene")
+    generate_scene(d, n_views=3, width=32, height=32, hf_res=64,
+                   n_buildings=2, scale=8.0, seed=3)
+    scene = load_scene(d, images_msi_path=os.path.join(d, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(d, iterations=20)
+    cfg.logging.tb_log_interval = 10
+    # exercise the sun + random-camera renders through the a2a path too
+    cfg.optimization.iterstart_shadowmapping = 5
+    cfg.optimization.iterstart_L_new_resample = 5
+    rcfg = RasterizeConfig(pair_capacity=1 << 13, tile_capacity=128,
+                           tile_chunk=8, max_tiles_per_gaussian=8,
+                           dest_cap=1 << 12)
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg, mesh=mesh,
+                 raster_backend="a2a").setup()
+    tr.train(progress=False)
+    losses = [m["loss"] for m in tr.metrics_history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert len(tr.state.params.xyz.sharding.device_set) == 8
+
+
 def test_sharded_tsdf_matches_single(mesh):
     """TSDF integration sharded over voxel slabs == single-device, exactly
     (the flat voxel axis is padded to a device multiple and unpadded)."""
