@@ -346,7 +346,10 @@ def build_parser():
                         choices=["gspmd", "a2a"],
                         help="multi-chip render path: GSPMD-partitioned "
                         "single-chip step, or the explicit all_to_all "
-                        "pair-exchange rasterizer (needs --n-devices>1)")
+                        "pair-exchange rasterizer (needs --n-devices>1). "
+                        "a2a shards the image over the mesh, so it is "
+                        "mutually exclusive with --views-per-step>1 "
+                        "(DP over views); pick one scaling axis")
         # multi-host bootstrap (jax.distributed): pass all three on every
         # process, or set EOGS2_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID
         sp.add_argument("--coordinator", default=None,

@@ -161,6 +161,35 @@ def apply_flow_to_image(img, flow_x, flow_y):
     return _warp_by_flow(img, flow_x, flow_y)
 
 
+def flow_accept(criteria: str, flow_mag, image, warped, gt_image, valid,
+                max_value_flow: float):
+    """Warp acceptance test — perform_flow_matching parity
+    (flow_matching.py:305-329). `criteria` is static; returns a traced bool.
+
+      * max_value_flow: accept when mean |flow| is below the threshold.
+      * always: accept unconditionally.
+      * psnr: accept when the warp improves PSNR vs GT (equivalently lowers
+        the masked MSE).
+      * l_photom: accept when the warp lowers (1-l)L1 + l(1-SSIM) with the
+        reference's hardcoded lambda_dssim=0.2.
+    """
+    from eogs2_tpu import losses as L
+
+    if criteria == "max_value_flow":
+        return flow_mag < max_value_flow
+    if criteria == "always":
+        return jnp.bool_(True)
+    if criteria == "psnr":
+        mse_b = L.masked_mean((image - gt_image) ** 2, valid)
+        mse_a = L.masked_mean((warped - gt_image) ** 2, valid)
+        return mse_a < mse_b
+    if criteria == "l_photom":
+        lp_b, _ = L.photometric_loss(image, gt_image, 0.2, mask=valid)
+        lp_a, _ = L.photometric_loss(warped, gt_image, 0.2, mask=valid)
+        return lp_a < lp_b
+    raise ValueError(f"unknown flowmatching criteria {criteria!r}")
+
+
 def adjust_affine(affine, img_w: int, img_h: int, mean_flow_x, mean_flow_y):
     """Bake the mean gt->render flow into the camera intercept
     (flow_matching_toaffine.py:11-25): b[0] -= dx * 2/W, b[1] -= dy * 2/H.

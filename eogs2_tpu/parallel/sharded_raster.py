@@ -151,7 +151,13 @@ def _a2a_fwd(pay_cols, tile_tab, depth_tab, statics: A2AStatics):
         pay_pad, tstart, cnt, s.tiles_per_band, s.k_cap, s.k_chunk,
         s.grid_x, s.interpret, tile0=tile0[None],
     )
-    stats = jnp.stack([jnp.max(cnt), jnp.max(counts)])
+    # dropped = pairs beyond the per-destination exchange window (clipped by
+    # `ok` above); their gradients are exactly zero, so surface the count so
+    # the Trainer's capacity management can grow dest_cap (the one capacity
+    # the CUDA reference resizes dynamically, rasterizer_impl.cu:284-288,
+    # that was previously unmanaged here).
+    dropped = jnp.sum(jnp.maximum(counts - s.dest_cap, 0))
+    stats = jnp.stack([jnp.max(cnt), jnp.max(counts), dropped])
     res = (pay_pad, out8, sort_tile, recv_pos_s, em_s, starts, tstart, cnt,
            tile0, pl_)
     return (out8, stats), res
@@ -257,6 +263,7 @@ def sharded_rasterize(
             ) + tuple(feat[:, j] for j in range(feat.shape[1]))
         )
         (out8, stats) = _a2a_blend(pay_cols, tile_tab, depth_tab, statics)
+        # stats = [max_tile_count, max_dest_count, dropped_pairs]
         # [T_band, P, 8] -> row-band image [C, rows*TILE, W]
         rows_per = tiles_per_band // grid_x
         img8 = out8.reshape(rows_per, grid_x, TILE, TILE, 8)
@@ -265,9 +272,13 @@ def sharded_rasterize(
         )
         final_t = img8[5]
         image = img8[:5] + final_t[None] * bg[:, None, None]
-        stats = jax.lax.stop_gradient(
-            jax.lax.pmax(jax.lax.stop_gradient(stats), axis)
-        )  # replicate for the P(None) out spec
+        # replicate for the P(None) out spec: capacities are maxed over
+        # chips, dropped-pair counts summed (each chip counts its own sends)
+        stats = jax.lax.stop_gradient(stats)
+        stats = jnp.concatenate([
+            jax.lax.pmax(stats[:2], axis),
+            jax.lax.psum(stats[2:3], axis),
+        ])
         # per-chip emitted pair count (valid emissions from THIS chip's
         # Gaussian shard): evidence of real work division across chips
         local_pairs = jnp.sum(
@@ -296,7 +307,8 @@ def sharded_rasterize(
     return dict(
         image=image, final_t=final_t, radii=radii,
         max_tile_count=stats[0], max_dest_count=stats[1],
-        max_tiles_per_gaussian_seen=stats[2], pairs_per_chip=pairs_per_chip,
+        dropped_pairs=stats[2], max_tiles_per_gaussian_seen=stats[3],
+        pairs_per_chip=pairs_per_chip,
     )
 
 
@@ -345,6 +357,7 @@ def rasterize_a2a(
         num_pairs=out["max_dest_count"],
         max_tile_count=out["max_tile_count"],
         max_tiles_per_gaussian_seen=out["max_tiles_per_gaussian_seen"],
+        dropped_pairs=out["dropped_pairs"],
     )
 
 

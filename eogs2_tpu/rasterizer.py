@@ -106,6 +106,10 @@ class RasterOut(NamedTuple):
     num_pairs: jnp.ndarray  # [] emitted pair count (overflow detection)
     max_tile_count: jnp.ndarray  # [] densest tile
     max_tiles_per_gaussian_seen: jnp.ndarray = None  # [] widest tile rect
+    # [] pairs dropped by the a2a per-destination exchange window (their
+    # gradients are exactly zero); always 0 on the single-chip paths, whose
+    # only capacity clip is tile_capacity (watched via max_tile_count)
+    dropped_pairs: jnp.ndarray = None
 
 
 @partial(jax.jit, static_argnames=("width", "height", "config"))

@@ -312,23 +312,36 @@ def make_train_step(
 
             # ---- flow matching (internal camera refinement) ----
             # perform_flow_matching parity (flow_matching.py:293-329): estimate
-            # the gt->render flow, warp the render into the gt frame, discard
-            # when the mean |flow| exceeds max_value_flow. The constant-
-            # displacement default (raft_small recipe) uses the FFT phase-
-            # correlation estimator; flow coordinates are stop-gradiented like
-            # the reference's detached grid (flow_matching.py:249).
+            # the gt->render flow, warp the render into the gt frame, then
+            # accept or discard the warp by the configured criteria
+            # (max_value_flow / psnr / l_photom / always — flow_matching.py:
+            # 305-329). The constant-displacement default (raft_small recipe)
+            # uses the FFT phase-correlation estimator; the dense mode
+            # (perform_cst_displacement=False) uses pyramidal Lucas-Kanade.
+            # Flow coordinates are stop-gradiented like the reference's
+            # detached grid (flow_matching.py:249).
             flow_mag = jnp.float32(0.0)
             if phase.enable_flowmatch:
-                from eogs2_tpu.flow import apply_flow_to_image, phase_correlation_shift
-
-                fdx, fdy = phase_correlation_shift(
-                    jax.lax.stop_gradient(gt_image), jax.lax.stop_gradient(image)
+                from eogs2_tpu.flow import (
+                    apply_flow_to_image,
+                    estimate_flow,
+                    flow_accept,
                 )
-                flow_mag = (jnp.abs(fdx) + jnp.abs(fdy)) * 0.5
-                accept = (
-                    flow_mag < o.flowmatching.max_value_flow
-                ) & (gates["flowmatch"] > 0.5)
+
+                fdx, fdy = estimate_flow(
+                    jax.lax.stop_gradient(gt_image),
+                    jax.lax.stop_gradient(image),
+                    o.flowmatching.perform_cst_displacement,
+                )
+                # abs(predicted_flows).mean() over both channels
+                flow_mag = 0.5 * (
+                    jnp.mean(jnp.abs(fdx)) + jnp.mean(jnp.abs(fdy))
+                )
                 warped = apply_flow_to_image(image, fdx, fdy)
+                accept = flow_accept(
+                    o.flowmatching.criteria, flow_mag, image, warped,
+                    gt_image, valid, o.flowmatching.max_value_flow,
+                ) & (gates["flowmatch"] > 0.5)
                 image = jnp.where(accept, warped, image)
 
             # ---- random virtual camera consistency ----
@@ -397,6 +410,14 @@ def make_train_step(
                 "num_pairs": out.num_pairs,
                 "max_tile": out.max_tile_count,
                 "max_tiles_per_gaussian": out.max_tiles_per_gaussian_seen,
+                # a2a: num_pairs is the largest per-destination exchange
+                # window (vs raster_cfg.dest_cap) and dropped_pairs counts
+                # clipped sends; both 0-risk on the single-chip backends
+                "dropped_pairs": (
+                    out.dropped_pairs
+                    if out.dropped_pairs is not None
+                    else jnp.int32(0)
+                ),
                 **{k: v for k, v in terms.items()},
             }
             return total, (metrics, out.radii)
@@ -974,12 +995,35 @@ class Trainer:
                             rc.max_tiles_per_gaussian, lo=4
                         ),
                     )
+                if self.raster_backend == "a2a":
+                    # a2a per-destination exchange windows clip silently
+                    # (zero gradients for dropped pairs) — grow dest_cap
+                    # when the largest window nears it or pairs were
+                    # actually dropped (the analog of the CUDA dynamic
+                    # binning-buffer resize, rasterizer_impl.cu:284-288)
+                    mdc = float(np.max(np.asarray(metrics["num_pairs"])))
+                    ndrop = float(
+                        np.max(np.asarray(metrics["dropped_pairs"]))
+                    )
+                    if ndrop > 0 or mdc >= 0.95 * rc.dest_cap:
+                        if ndrop > 0:
+                            print(
+                                f"[{iteration}] WARNING: a2a exchange "
+                                f"dropped {int(ndrop)} pairs "
+                                f"(dest window {int(mdc)} vs dest_cap "
+                                f"{rc.dest_cap}); growing"
+                            )
+                        grew = dataclasses.replace(
+                            grew or rc,
+                            dest_cap=_next_bucket(rc.dest_cap, lo=1024),
+                        )
                 if grew is not None:
                     print(
                         f"[{iteration}] rebucketing rasterizer capacities: "
                         f"K {rc.tile_capacity}->{grew.tile_capacity}, "
                         f"tiles/gauss {rc.max_tiles_per_gaussian}->"
-                        f"{grew.max_tiles_per_gaussian}"
+                        f"{grew.max_tiles_per_gaussian}, "
+                        f"dest_cap {rc.dest_cap}->{grew.dest_cap}"
                     )
                     self.raster_cfg = grew
                     self._steps = {}
