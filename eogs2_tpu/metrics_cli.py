@@ -64,7 +64,7 @@ def perceptual_distance(a, b):
 _VGG_SLICES = ((0, 4), (4, 9), (9, 16), (16, 23), (23, 30))  # relu1_2..relu5_3
 
 
-def lpips_torch(a, b):
+def lpips_torch(a, b, net=None):
     """LPIPS-vgg perceptual distance via torchvision VGG16 features.
 
     Matches the reference's lpipsPyTorch structure (lpipsPyTorch/modules/
@@ -73,15 +73,19 @@ def lpips_torch(a, b):
     learned linear calibration weights are not shipped with torchvision, so
     block outputs are averaged with unit weights (uncalibrated LPIPS).
 
-    Requires torchvision + locally cached VGG16_Weights.IMAGENET1K_V1
+    `net` (a torchvision `vgg16(...).features` module) may be injected —
+    tests exercise the pipeline with seeded random weights. When omitted,
+    requires torchvision + locally cached VGG16_Weights.IMAGENET1K_V1
     (this offline image has neither — callers fall back to
     perceptual_distance; see compute_metrics).
     Raises ImportError / RuntimeError when unavailable.
     """
     import torch  # noqa: F401 (torchvision requires torch)
-    from torchvision.models import VGG16_Weights, vgg16
 
-    net = vgg16(weights=VGG16_Weights.IMAGENET1K_V1).features.eval()
+    if net is None:
+        from torchvision.models import VGG16_Weights, vgg16
+
+        net = vgg16(weights=VGG16_Weights.IMAGENET1K_V1).features.eval()
     mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
     std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
 

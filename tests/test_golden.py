@@ -84,6 +84,44 @@ def test_golden_forward_and_grads(golden, mode):
     _check_grads(grads, golden, "noaa", rtol=2e-4)
 
 
+def test_golden_losses():
+    """Loss-stack golden (VERDICT r2 item 7): the framework's jitted f32
+    loss functions must reproduce the frozen float64 oracle values
+    (tests/oracle_losses.py — independent transcriptions of the reference
+    loss/*.py + the torch-parity SSIM of utils/loss_utils.py:26-85) on the
+    oracle-rendered golden scene."""
+    import eogs2_tpu.losses as L
+    from eogs2_tpu.ops.ssim import ssim
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden", "losses1.npz"))
+    j = {k: jnp.asarray(g[k]) for k in g.files}
+    n_init = float(g["n_init"])
+
+    def chk(name, got, tol=2e-5):
+        want = float(g[name])
+        err = abs(float(got) - want) / (abs(want) + 1e-12)
+        assert err < tol, f"{name}: got {float(got)!r} want {want!r} rel {err:.2e}"
+
+    chk("ssim", ssim(j["image"], j["gt"]))
+    chk("l1", L.l1_loss(j["image"], j["gt"]))
+    chk("photometric", L.photometric_loss(j["image"], j["gt"], 0.2)[0])
+    alive = jnp.ones(j["opacity"].shape, bool)
+    chk("opacity_loss", L.opacity_loss(j["opacity"], alive, n_init))
+    chk("radii_opacity", L.radii_opacity_loss(j["opacity"], j["radii"], n_init))
+    chk("acc_opacity", L.accumulated_opacity_loss(1.0 - (1.0 - j["acc"])))
+    chk("translucent", L.translucent_shadows_loss(j["shadowmap"]))
+    chk("tv_altitude", L.tv_altitude_loss(j["altitude"]))
+    chk("erank", L.erank_loss(j["scaling"], alive))
+    sa, sr = L.suncamera_loss(j["image"], j["sun_rgb"], j["sun_diff"], j["sun_uv"])
+    chk("sun_alt", sa)
+    chk("sun_rgb_loss", sr)
+    ra, rr = L.randomcam_loss(j["altitude"], j["new_alt"], j["image"],
+                              j["new_rgb"], j["new_uv"])
+    chk("rand_alt", ra)
+    chk("rand_rgb_loss", rr)
+    chk("nll", L.transient_nll_loss(j["image"], j["gt"], j["transient"]))
+
+
 def test_golden_antialiasing(golden):
     # Looser than the no-AA case: the AA opacity rescale pushes 3 pairs of
     # this scene within one f32 ulp of the 1/255 alpha cutoff, so the f32

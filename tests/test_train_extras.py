@@ -300,6 +300,67 @@ def test_lpips_torch_declared_fallback():
     assert np.isfinite(metrics_cli.perceptual_distance(a, 1.0 - a))
 
 
+def test_lpips_torch_structural_pin():
+    """Pin lpips_torch's math WITHOUT pretrained weights (VERDICT r2 item 8):
+    inject a seeded random-weight net with the VGG16 `features` topology and
+    check the result equals an independently-computed unit-normalized-
+    activation L2 over the 5 relu blocks (lpipsPyTorch/modules/lpips.py
+    structure)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    from eogs2_tpu import metrics_cli
+
+    torch.manual_seed(0)
+
+    def block(cin, cout, n_conv):
+        layers = []
+        for i in range(n_conv):
+            layers += [nn.Conv2d(cin if i == 0 else cout, cout, 3, padding=1),
+                       nn.ReLU()]
+        layers.append(nn.MaxPool2d(2))
+        return layers
+
+    # same layer INDICES as torchvision vgg16().features (31 modules),
+    # smaller widths (the slice math is width-independent)
+    layers = (block(3, 8, 2) + block(8, 8, 2) + block(8, 8, 3)
+              + block(8, 8, 3) + block(8, 8, 3))
+    assert len(layers) == 31
+    net = nn.Sequential(*layers).eval()
+
+    rng = np.random.RandomState(1)
+    a = rng.rand(3, 64, 64).astype(np.float32)
+    b = rng.rand(3, 64, 64).astype(np.float32)
+
+    d_ab = metrics_cli.lpips_torch(a, b, net=net)
+    # identical inputs -> exactly zero distance
+    assert metrics_cli.lpips_torch(a, a, net=net) < 1e-12
+    # symmetry of the squared-difference form
+    assert abs(metrics_cli.lpips_torch(b, a, net=net) - d_ab) < 1e-9
+
+    # independent re-computation of the documented formula
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def unit_feats(x):
+        x = (torch.as_tensor(x)[None] - mean) / std
+        out = []
+        with torch.no_grad():
+            for i, layer in enumerate(net):
+                x = layer(x)
+                if i in (3, 8, 15, 22, 29):  # relu1_2..relu5_3
+                    out.append(x / (x.norm(dim=1, keepdim=True) + 1e-10))
+        return out
+
+    expect = float(
+        sum(((fa - fb) ** 2).sum(1).mean()
+            for fa, fb in zip(unit_feats(a), unit_feats(b)))
+    ) / 5.0
+    assert abs(d_ab - expect) < 1e-6, (d_ab, expect)
+
+
 def test_big_testing_and_save_iterations(scene_dir, tmp_path):
     """big_testing_iterations drives the full train/test report and
     save_iterations drives mid-run model saves (train_pan.py:598-660)."""
