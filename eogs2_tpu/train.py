@@ -410,6 +410,12 @@ def make_train_step(
                 "num_pairs": out.num_pairs,
                 "max_tile": out.max_tile_count,
                 "max_tiles_per_gaussian": out.max_tiles_per_gaussian_seen,
+                # fraction of pixels whose transmittance saturated: drives
+                # the Trainer's early_exit auto-pick (the chunk early exit
+                # only pays when tiles actually die before their count)
+                "sat_frac": L.masked_mean(
+                    (out.final_t < 1e-2).astype(jnp.float32), valid[0]
+                ),
                 # a2a: num_pairs is the largest per-destination exchange
                 # window (vs raster_cfg.dest_cap) and dropped_pairs counts
                 # clipped sends; both 0-risk on the single-chip backends
@@ -634,6 +640,13 @@ class Trainer:
     # host events (logging, densify/reset cadence, eval, phase changes) so
     # semantics match the per-iteration loop.
     steps_per_dispatch: int = 1
+    # auto-pick the fused kernels' chunk-granular early exit from the
+    # observed pixel saturation (sat_frac metric): ON when most pixels'
+    # transmittance dies (opaque converged scenes — the exit skips real
+    # work), OFF otherwise (the per-chunk vector->scalar sync is pure cost
+    # on translucent scenes, DESIGN.md section 8c). False = respect
+    # raster_cfg.early_exit as given.
+    early_exit_auto: bool = True
 
     def _place(self, state):
         if self.mesh is None:
@@ -733,6 +746,14 @@ class Trainer:
             ))
         self._steps = {}
         self._low_occupancy_checks = 0
+        self._ee_flip_checks = 0
+        if self.early_exit_auto and self.raster_cfg.early_exit:
+            # fresh scenes are translucent (opacity init ~0.05-0.2): start
+            # with the exit off; the sat_frac auto-pick turns it on once
+            # the scene converges to opaque coverage
+            self.raster_cfg = dataclasses.replace(
+                self.raster_cfg, early_exit=False
+            )
         self.rng = np.random.RandomState(cfg.seed)
         self.key = jax.random.PRNGKey(cfg.seed)
         self.metrics_history = []
@@ -1064,6 +1085,30 @@ class Trainer:
                         self.raster_cfg = shrunk
                         self._steps = {}
                         self._low_occupancy_checks = 0
+
+                # early_exit auto-pick (DESIGN.md section 8c): the chunk
+                # early exit only pays when pixels saturate (T < eps before
+                # the tile's pair count runs out); on translucent scenes its
+                # per-chunk sync is pure cost. Flip on observed saturation
+                # with a hysteresis band + 2-consecutive-checks debounce.
+                if self.early_exit_auto:
+                    rc2 = self.raster_cfg
+                    sat = float(np.mean(np.asarray(metrics["sat_frac"])))
+                    want = sat > (0.35 if rc2.early_exit else 0.55)
+                    if want != rc2.early_exit:
+                        self._ee_flip_checks += 1
+                    else:
+                        self._ee_flip_checks = 0
+                    if self._ee_flip_checks >= 2:
+                        print(
+                            f"[{iteration}] early_exit auto-pick: "
+                            f"{rc2.early_exit}->{want} (saturation {sat:.2f})"
+                        )
+                        self.raster_cfg = dataclasses.replace(
+                            rc2, early_exit=want
+                        )
+                        self._steps = {}
+                        self._ee_flip_checks = 0
 
             self._maintenance(iteration)
 
