@@ -63,7 +63,14 @@ def _emission_keys(prep: Preprocessed, width, height, tcap):
     tiles = jnp.minimum(prep.tiles_touched, tcap)
     t = jnp.arange(tcap, dtype=jnp.int32)[:, None]  # [tcap, 1]
     rw = jnp.maximum(prep.rect_size[:, 0], 1)[None, :]  # [1, N]
-    ty = t // rw
+    # floor(t / rw) via f32 division: the VPU has no integer divider (XLA
+    # expands integer div into a long bit-serial sequence — measured ~3 ms
+    # at [4, 100k]); f32 division of exact small ints (< 2^24) is correctly
+    # rounded, and floor of it is exact (q*rw == t gives exactly q, else
+    # the quotient is strictly between integers).
+    ty = jnp.floor(
+        t.astype(jnp.float32) / rw.astype(jnp.float32)
+    ).astype(jnp.int32)
     tx = t - ty * rw
     tile_id = (prep.rect_min[:, 1][None, :] + ty) * grid_x + (
         prep.rect_min[:, 0][None, :] + tx

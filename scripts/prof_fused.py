@@ -46,9 +46,12 @@ REPS = 10
 rng = np.random.RandomState(42)
 means = rng.uniform(-0.9, 0.9, (N, 3)).astype(np.float32)
 means[:, 2] = -0.3 + 0.1 * rng.rand(N)
-scales = np.full((N, 3), 0.006, np.float32)
+# >=500k: reference-scale scene (match bench.py --scale / prof_scale.py)
+SCALE_PX = 2.4 / W if N >= 500_000 else 0.006
+OPAC = 0.10 if N >= 500_000 else 0.7
+scales = np.full((N, 3), SCALE_PX, np.float32)
 quats = np.tile(np.array([1, 0, 0, 0], np.float32), (N, 1))
-opac = np.full((N,), 0.7, np.float32)
+opac = np.full((N,), OPAC, np.float32)
 rgb = rng.uniform(0.2, 0.9, (N, 3)).astype(np.float32)
 affine = np.array(
     [[1.0, 0.05, 0.3, 0.0], [0.0, 1.0, -0.2, 0.0], [0, 0, 1.0, 0.0]],
@@ -66,17 +69,22 @@ CFG = RasterizeConfig(
 )
 
 
-def timeit(name, f):
+def timeit(name, f, *arrs):
+    """Time f(z, *arrs). Arrays MUST be passed through *arrs, not closed
+    over: jit bakes closed-over arrays into the program as CONSTANTS, and at
+    reference scale that ships a 2 GB pay_pad through the remote-compile
+    tunnel per stage (measured: compile never finishes)."""
+
     @jax.jit
-    def run(z):
+    def run(z, *arrs):
         def body(i, acc):
-            return acc + f(acc * 1e-30 + z)
+            return acc + f(acc * 1e-30 + z, *arrs)
 
         return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
-    float(run(jnp.float32(0.0)))
+    float(run(jnp.float32(0.0), *arrs))
     t0 = time.perf_counter()
-    float(run(jnp.float32(0.0)))
+    float(run(jnp.float32(0.0), *arrs))
     dt = (time.perf_counter() - t0) / REPS
     print(f"{name:36s} {dt * 1e3:8.2f} ms", flush=True)
     return dt
@@ -85,33 +93,38 @@ def timeit(name, f):
 grid_x, grid_y = grid_dims(W, H)
 n_tiles = grid_x * grid_y
 
-cov2d0 = jax.jit(lambda: compute_cov2d_direct(scales, quats, affine, W, H))()
-prep0 = jax.jit(lambda: preprocess_gaussians(
-    means, None, opac, affine, W, H, cov2d=cov2d0))()
-tile_tab0, depth_tab0, _ = jax.jit(lambda: _emission_keys(
-    prep0, W, H, TCAP))()
+# all precomputations pass arrays as jit ARGUMENTS (closed-over arrays get
+# baked into the program as constants — 2 GB of pay_pad at reference scale)
+cov2d0 = jax.jit(
+    lambda s, q: compute_cov2d_direct(s, q, affine, W, H))(scales, quats)
+prep0 = jax.jit(lambda m, o, c: preprocess_gaussians(
+    m, None, o, affine, W, H, cov2d=c))(means, opac, cov2d0)
+tile_tab0, depth_tab0, _ = jax.jit(
+    lambda pp: _emission_keys(pp, W, H, TCAP))(prep0)
 pay_cols0 = (
     prep0.mean2d[:, 0], prep0.mean2d[:, 1],
     prep0.conic[:, 0], prep0.conic[:, 1], prep0.conic[:, 2],
     prep0.opacity,
 ) + tuple(feat[:, j] for j in range(feat.shape[1]))
-_sorted = jax.jit(lambda: FR._sort_and_range(
-    pay_cols0, tile_tab0, depth_tab0, n_tiles, TCAP))()
+_sorted = jax.jit(lambda pc, tt, dt_: FR._sort_and_range(
+    pc, tt, dt_, n_tiles, TCAP))(pay_cols0, tile_tab0, depth_tab0)
 sorted_cols0, sort_tile0, src_idx0, tstart0, cnt0 = _sorted
 p = tile_tab0.shape[0]
-pay_pad0 = jax.jit(lambda: jnp.zeros((p + KCAP, FR.NFF), jnp.float32)
-                   .at[:p, :len(pay_cols0)].set(jnp.stack(sorted_cols0, -1)))()
-out8_0 = jax.jit(lambda: FR._fused_fwd_call(
-    pay_pad0, tstart0, cnt0, n_tiles, KCAP, KCHUNK, grid_x, INTERP))()
+pay_pad0 = jax.jit(
+    lambda sc: jnp.zeros((p + KCAP, FR.NFF), jnp.float32)
+    .at[:p, :len(pay_cols0)].set(jnp.stack(sc, -1)))(sorted_cols0)
+out8_0 = jax.jit(lambda pp_, ts, cn: FR._fused_fwd_call(
+    pp_, ts, cn, n_tiles, KCAP, KCHUNK, grid_x, INTERP))(
+        pay_pad0, tstart0, cnt0)
 
 
-def f_prep(z):
+def f_prep(z, means, scales, quats, opac):
     c = compute_cov2d_direct(scales + z, quats, affine, W, H)
     pp = preprocess_gaussians(means + z, None, opac, affine, W, H, cov2d=c)
     return jnp.sum(pp.mean2d) + jnp.sum(pp.conic) + jnp.sum(pp.depth)
 
 
-def f_prep_grad(z):
+def f_prep_grad(z, means, scales, quats, opac):
     def loss(m, s, q, o):
         c = compute_cov2d_direct(s, q, affine, W, H)
         pp = preprocess_gaussians(m, None, o, affine, W, H, cov2d=c)
@@ -123,33 +136,33 @@ def f_prep_grad(z):
     return v + sum(jnp.sum(x) for x in g)
 
 
-def f_keys(z):
+def f_keys(z, prep0):
     pp = prep0._replace(mean2d=prep0.mean2d + z)
     tt, dt_, _ = _emission_keys(pp, W, H, TCAP)
     return jnp.sum(tt) + jnp.sum(dt_)
 
 
-def f_sort(z):
+def f_sort(z, pay_cols0, tile_tab0, depth_tab0):
     cols = tuple(c + z for c in pay_cols0)
     sc, st, si, ts, cn = FR._sort_and_range(cols, tile_tab0, depth_tab0,
                                             n_tiles, TCAP)
     return sum(jnp.sum(c) for c in sc) + jnp.sum(ts.astype(jnp.float32))
 
 
-def f_paypad(z):
-    pay = jnp.zeros((p + KCAP, FR.NFF), jnp.float32).at[:p, :len(pay_cols0)].set(
+def f_paypad(z, sorted_cols0):
+    pay = jnp.zeros((p + KCAP, FR.NFF), jnp.float32).at[:p, :11].set(
         jnp.stack([c + z for c in sorted_cols0], -1))
     return jnp.sum(pay[:, 0])
 
 
-def f_fwdkernel(z):
+def f_fwdkernel(z, pay_pad0, tstart0, cnt0):
     out8 = FR._fused_fwd_call(pay_pad0 + z, tstart0, cnt0, n_tiles, KCAP,
                               KCHUNK, grid_x, INTERP,
                               early_exit=EARLY_EXIT)
     return jnp.sum(out8[:, :, :6])
 
 
-def f_bwdkernel(z):
+def f_bwdkernel(z, pay_pad0, out8_0, tstart0, cnt0):
     g_out = jnp.ones_like(out8_0) * (1.0 + z)
     gpay = FR._fused_bwd_call(pay_pad0, g_out, out8_0, tstart0, cnt0,
                               n_tiles, KCAP, KCHUNK, grid_x, INTERP,
@@ -157,14 +170,14 @@ def f_bwdkernel(z):
     return jnp.sum(gpay[:, :11])
 
 
-def f_return_sort(z):
+def f_return_sort(z, pay_pad0, src_idx0):
     gcols = tuple(jnp.where(src_idx0 >= 0, pay_pad0[:p, j] + z, 0.0)
                   for j in range(11))
     s = jax.lax.sort((src_idx0,) + gcols, num_keys=1)
     return sum(jnp.sum(c.reshape(N, -1).sum(1)) for c in s[1:])
 
 
-def f_blendonly(z):
+def f_blendonly(z, pay_cols0, tile_tab0, depth_tab0):
     """sort + pay_pad + fwd kernel in ONE graph (no preprocess/keys): the
     difference vs FULL fwd is the in-graph preprocess+keys contribution."""
     out = FR._fused_sorted_blend(
@@ -174,12 +187,12 @@ def f_blendonly(z):
     return jnp.sum(out.out8[:, :, :6])
 
 
-def f_fwd(z):
+def f_fwd(z, means, scales, quats, opac, feat):
     out = rasterize(means + z, scales, quats, opac, feat, affine, bg, W, H, CFG)
     return jnp.sum(out.image)
 
 
-def f_fwdbwd(z):
+def f_fwdbwd(z, means, scales, quats, opac, feat):
     def loss(m, s, q, o_, f_, a):
         out = rasterize(m, s, q, o_, f_, a, bg, W, H, CFG)
         return jnp.sum(out.image[:3] ** 2) + jnp.sum(out.final_t)
@@ -192,15 +205,16 @@ def f_fwdbwd(z):
 print(f"device={jax.devices()[0].platform} N={N} {W}x{H} tcap={TCAP} "
       f"kcap={KCAP} kchunk={KCHUNK} pairs={int(jnp.sum(prep0.tiles_touched))} "
       f"max_tile={int(jnp.max(cnt0))}", flush=True)
-timeit("preprocess fwd", f_prep)
-timeit("preprocess fwd+bwd", f_prep_grad)
-timeit("emission keys", f_keys)
-timeit("emission sort+range", f_sort)
-timeit("pay_pad materialize", f_paypad)
-timeit("fwd kernel", f_fwdkernel)
-timeit("bwd kernel", f_bwdkernel)
-timeit("emission-return sort+reduce", f_return_sort)
-timeit("sort+pack+fwdkernel (one graph)", f_blendonly)
-t_f = timeit("FULL fused fwd", f_fwd)
-t_fb = timeit("FULL fused fwd+bwd", f_fwdbwd)
+timeit("preprocess fwd", f_prep, means, scales, quats, opac)
+timeit("preprocess fwd+bwd", f_prep_grad, means, scales, quats, opac)
+timeit("emission keys", f_keys, prep0)
+timeit("emission sort+range", f_sort, pay_cols0, tile_tab0, depth_tab0)
+timeit("pay_pad materialize", f_paypad, sorted_cols0)
+timeit("fwd kernel", f_fwdkernel, pay_pad0, tstart0, cnt0)
+timeit("bwd kernel", f_bwdkernel, pay_pad0, out8_0, tstart0, cnt0)
+timeit("emission-return sort+reduce", f_return_sort, pay_pad0, src_idx0)
+timeit("sort+pack+fwdkernel (one graph)", f_blendonly, pay_cols0, tile_tab0,
+       depth_tab0)
+t_f = timeit("FULL fused fwd", f_fwd, means, scales, quats, opac, feat)
+t_fb = timeit("FULL fused fwd+bwd", f_fwdbwd, means, scales, quats, opac, feat)
 print(f"=> {W * H / t_fb / 1e6:.2f} Mrays/s fwd+bwd (in-graph)")
