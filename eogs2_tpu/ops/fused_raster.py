@@ -9,12 +9,29 @@ those steps: after the ONE payload-carrying sort, each tile's pairs are a
 the blend kernel DMAs its rows directly from HBM at a scalar-prefetched
 dynamic offset and composites only ceil(cnt/chunk) chunks (ragged loop)
 instead of K/chunk. The backward kernel writes per-pair gradients straight
-back to the sorted row positions (tile windows overlap only in their tails;
+back to the sorted positions (tile windows overlap only in their tails;
 the TPU grid is sequential, so each later tile overwrites the stale tail of
 the previous one, and rows no window owns are masked out by the emission
-mapping). Gradients return to per-Gaussian (emission) order with the same
-inverse-permutation trick as pair_pipeline._bwd_full: one 2-int-column sort
-+ one row gather + reshape-sum — no scatter anywhere.
+mapping). Gradients return to per-Gaussian (emission) order with ONE
+payload-carrying sort keyed by the saved emission index + a reshape-sum —
+no scatter anywhere.
+
+Two payload layouts (RasterizeConfig.payload_col):
+
+  * col (default, round 3): the sorted payload lives as a [NF=16, L]
+    column-major array — 64 B/pair in HBM instead of the wide layout's
+    512 B/pair (narrow [rows, k<128] f32 arrays lane-pad to 128). The
+    kernels run in pairs-on-LANES orientation ([P, Kc] blocks, scans along
+    lanes, per-pair fields as [1, Kc] rows) so no transpose or relayout
+    appears anywhere; windows DMA at 128-aligned lane offsets and the
+    leading start%128 pairs are masked exactly like tail garbage. The
+    backward's ordered tail-overwrite gains one new piece: consecutive
+    tiles can share a boundary 128-lane block, so each grid step merges the
+    previous tile's boundary-pair gradients (still live in the other
+    double-buffer slot of the sequential grid) into its first block before
+    the ordered write-back.
+  * wide: one pair per 128-lane row ([rows, NFF=128]), pairs on SUBLANES
+    ([Kc, P] blocks). Kept as a fallback and for A/B measurement.
 
 Reference parity: this is the TPU replacement for the whole CUDA
 duplicate/sort/identifyTileRanges/renderCUDA chain (rasterizer_impl.cu:
@@ -43,65 +60,84 @@ from eogs2_tpu.ops.pair_pipeline import (
 from eogs2_tpu.ops.projection import TILE, Preprocessed
 
 P = TILE * TILE  # 256 pixels per tile
-# Payload row width: mx,my,ca,cb,cc,op,f0..f4 (11) + pad to a full 128-lane
-# tile. Mosaic requires HBM memref_slice shapes aligned to the (1,128)
-# tiling, and XLA already pads the minor dim of a [rows,16] f32 array to 128
-# lanes in HBM — so the full-tile row width costs no extra memory, only DMA
-# bytes (and the hardware fetches whole tiles regardless).
+# wide payload row width: mx,my,ca,cb,cc,op,f0..f4 (11) + pad to a full
+# 128-lane tile (the hardware lane-pads narrow f32 rows to 128 anyway)
 NFF = 128
+# col layout: NF=16 payload fields (11 real + 5 pad) on sublanes, pairs on
+# lanes — 64 B/pair of real HBM traffic
+NF = 16
+LANE = 128  # lane-block granularity of col windows
 HI = jax.lax.Precision.HIGHEST
 
 
-def _scan_incl_sub(x, interpret: bool):
-    """Inclusive prefix sum along SUBLANES (axis 0) of a [Kc, P] block.
-
-    Same log-depth roll+add strategy as blend_pallas._scan_incl (exact f32
+def _scan_incl(x, interpret: bool, axis: int):
+    """Inclusive prefix sum along `axis` (log-depth roll+add — exact f32
     VPU adds, ~5x cheaper than the Precision.HIGHEST triangular matmul it
     replaced); interpret mode (CPU tests) uses jnp.cumsum."""
     if interpret:
-        return jnp.cumsum(x, axis=0)
-    kc = x.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        return jnp.cumsum(x, axis=axis)
+    kc = x.shape[axis]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
     s = 1
     while s < kc:
-        shifted = pltpu.roll(x, s, 0)
+        shifted = pltpu.roll(x, s, axis)
         x = jnp.where(row >= s, x + shifted, x)
         s *= 2
     return x
 
 
-def _scan_prod_sub(x, interpret: bool):
-    """Inclusive prefix PRODUCT along sublanes of a [Kc, P] block.
+def _scan_prod(x, interpret: bool, axis: int):
+    """Inclusive prefix PRODUCT along `axis`.
 
     Direct multiplicative Hillis-Steele rolls. Replaces the round-1
     log1p -> cumsum -> exp pipeline: the transmittance T is a running
     product in the CUDA reference (forward.cu:371), and computing it as a
     product skips TWO transcendentals per pair-pixel (measured: the blend
-    kernels are VPU-bound, exp/log1p dominate the chunk body). Underflow
-    to 0 below ~1e-38 is harmless: the live threshold is T_EPS=1e-4."""
+    kernels are VPU-bound). Underflow to 0 below ~1e-38 is harmless: the
+    live threshold is T_EPS=1e-4."""
     if interpret:
-        return jnp.cumprod(x, axis=0)
-    kc = x.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        return jnp.cumprod(x, axis=axis)
+    kc = x.shape[axis]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
     s = 1
     while s < kc:
-        shifted = pltpu.roll(x, s, 0)
+        shifted = pltpu.roll(x, s, axis)
         x = jnp.where(row >= s, x * shifted, x)
         s *= 2
     return x
 
 
-def _pixel_basis():
-    """TILE-LOCAL pixel-polynomial basis [6, P]:
+def _shift_one(p_incl, interpret: bool, axis: int):
+    """Exclusive product from an inclusive one: shift by 1 along `axis`,
+    shifting 1.0 into position 0 (T *before* each pair = the exclusive
+    prefix; one roll+select instead of a divide by one_minus)."""
+    if interpret:
+        pad = [(0, 0)] * p_incl.ndim
+        pad[axis] = (1, 0)
+        sl = [slice(None)] * p_incl.ndim
+        sl[axis] = slice(0, -1)
+        return jnp.pad(p_incl[tuple(sl)], pad, constant_values=1.0)
+    row = jax.lax.broadcasted_iota(jnp.int32, p_incl.shape, axis)
+    return jnp.where(row == 0, 1.0, pltpu.roll(p_incl, 1, axis))
+
+
+def _pixel_basis(transposed: bool = False):
+    """TILE-LOCAL pixel-polynomial basis [6, P] (or [P, 6]):
     rows = (1, px, py, px^2, py^2, px*py) with px,py in [0, TILE). The
-    per-pair quadratic power(px,py) then becomes ONE [Kc,6]@[6,P] MXU
-    matmul per chunk instead of ~10 [Kc,P]-wide VPU ops (the kernels are
-    VPU-bound). LOCAL coordinates are load-bearing: with global pixel
-    coords the expansion's mx^2-scale coefficients (up to canvas^2) cancel
-    against the pixel terms down to the O(1..100) true power, losing
-    ~eps*canvas^2 absolute — catastrophic at 2048px. Locally both the
-    means (shifted by the tile origin) and the pixels are O(TILE+radius),
-    and dx = mx - px is shift-invariant, so the math is unchanged."""
+    per-pair quadratic power(px,py) then becomes ONE MXU matmul per chunk
+    instead of ~10 [Kc,P]-wide VPU ops (the kernels are VPU-bound). LOCAL
+    coordinates are load-bearing: with global pixel coords the expansion's
+    mx^2-scale coefficients (up to canvas^2) cancel against the pixel terms
+    down to the O(1..100) true power, losing ~eps*canvas^2 absolute —
+    catastrophic at 2048px. Locally both the means (shifted by the tile
+    origin) and the pixels are O(TILE+radius), and dx = mx - px is
+    shift-invariant, so the math is unchanged."""
+    if transposed:
+        pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        px = (pid % TILE).astype(jnp.float32)  # [P, 1]
+        py = (pid // TILE).astype(jnp.float32)
+        one = jnp.ones((P, 1), jnp.float32)
+        return jnp.concatenate([one, px, py, px * px, py * py, px * py], 1)
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     px = (pid % TILE).astype(jnp.float32)  # [1, P]
     py = (pid // TILE).astype(jnp.float32)
@@ -109,23 +145,35 @@ def _pixel_basis():
     return jnp.concatenate([one, px, py, px * px, py * py, px * py], axis=0)
 
 
-def _chunk_fields(scratch, c, k_chunk, cnt, basis, ox, oy):
-    """Alpha for chunk c from the [K, NFF] scratch block.
+def _origin(grid_x, tile0):
+    """Pixel origin of this grid step's tile. `tile0` (scalar-prefetched)
+    offsets local tile indices to GLOBAL tile ids — 0 on a single chip; the
+    band's first tile id under the sharded row-band rasterizer."""
+    i = pl.program_id(0) + tile0
+    ox = ((i % grid_x) * TILE).astype(jnp.float32)
+    oy = ((i // grid_x) * TILE).astype(jnp.float32)
+    return ox, oy
 
-    Returns [Kc, P]-shaped alpha/g/keep (K on sublanes, pixels on lanes)
-    plus the raw field vectors. Rows at or beyond cnt belong to neighboring
-    tiles' windows (or are uninitialized DMA garbage, possibly NaN/Inf):
-    every extracted field is sanitized with a [Kc,1]-cheap select here, so
-    no full-window zero-fill is needed and no NaN can propagate through
-    0*NaN in downstream products.
+
+# --------------------------------------------------------------------------
+# WIDE layout kernels: pairs on sublanes, [Kc, P] compute blocks
+# --------------------------------------------------------------------------
+
+
+def _chunk_fields(blk, c, k_chunk, lo, hi, basis, ox, oy):
+    """Alpha for chunk c from its [Kc, F] block (pairs on sublanes).
+
+    Returns [Kc, P]-shaped alpha/g/keep plus the raw field vectors. Rows
+    outside [lo, hi) belong to neighboring tiles' windows (or are
+    uninitialized DMA garbage, possibly NaN/Inf): every extracted field is
+    sanitized with a [Kc,1]-cheap select here, so no full-window zero-fill
+    is needed and no NaN can propagate through 0*NaN downstream.
 
     power = -0.5*ca*dx^2 - 0.5*cc*dy^2 - cb*dx*dy with dx = mx - px is
     expanded in the pixel-polynomial basis: coefficients are per-PAIR [Kc]
     expressions (cheap), the [Kc,P] evaluation is one MXU matmul."""
-    sl = pl.ds(c * k_chunk, k_chunk)
-    blk = scratch[sl, :]  # [Kc, NFF]
     kidx = c * k_chunk + jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0)
-    rowok = kidx < cnt  # [Kc, 1]
+    rowok = (kidx >= lo) & (kidx < hi)  # [Kc, 1]
     rv = rowok[:, 0]
 
     def col(j):
@@ -167,28 +215,6 @@ def _chunk_fields(scratch, c, k_chunk, cnt, basis, ox, oy):
     return alpha, g, keep, (mx, my, ca, cb, cc, op), feat
 
 
-def _shift_down_one(p_incl, interpret: bool):
-    """Exclusive product from an inclusive one: shift rows down by 1 along
-    sublanes, shifting 1.0 into row 0 (T *before* each pair = the exclusive
-    prefix; one roll+select instead of a [Kc,P] divide by one_minus)."""
-    if interpret:
-        return jnp.concatenate(
-            [jnp.ones((1,) + p_incl.shape[1:], p_incl.dtype), p_incl[:-1]], 0
-        )
-    row = jax.lax.broadcasted_iota(jnp.int32, p_incl.shape, 0)
-    return jnp.where(row == 0, 1.0, pltpu.roll(p_incl, 1, 0))
-
-
-def _origin(grid_x, tile0):
-    """Pixel origin of this grid step's tile. `tile0` (scalar-prefetched)
-    offsets local tile indices to GLOBAL tile ids — 0 on a single chip; the
-    band's first tile id under the sharded row-band rasterizer."""
-    i = pl.program_id(0) + tile0
-    ox = ((i % grid_x) * TILE).astype(jnp.float32)
-    oy = ((i // grid_x) * TILE).astype(jnp.float32)
-    return ox, oy
-
-
 def _window_dma(pay_hbm, tstart_ref, scratch, sem, slot, t, k_cap):
     """Descriptor for tile t's payload window into double-buffer `slot`.
     Rebuilt identically at start() and wait() sites (the Pallas cross-grid-
@@ -221,18 +247,18 @@ def _fwd_kernel(meta_ref, tstart_ref, cnt_ref, pay_hbm, out_ref, scratch, sem,
     _window_dma(pay_hbm, tstart_ref, scratch, sem, slot, t, k_cap).wait()
     # tail rows (>= cnt) hold garbage from neighboring windows; every field
     # read is sanitized inside _chunk_fields (no full-window zero-fill)
-    buf = scratch.at[slot]
     ox, oy = _origin(grid_x, meta_ref[0])
     basis = _pixel_basis()
     n_chunks = jax.lax.div(cnt + (k_chunk - 1), k_chunk)
 
     def body(carry):
         c, acc, carry_t, t_live = carry
-        alpha, _, _, _, feat = _chunk_fields(buf, c, k_chunk, cnt, basis,
-                                             ox, oy)
+        blk = scratch[slot, pl.ds(c * k_chunk, k_chunk), :]
+        alpha, _, _, _, feat = _chunk_fields(blk, c, k_chunk, 0, cnt,
+                                             basis, ox, oy)
         one_minus = 1.0 - alpha  # [Kc, P]
-        p_incl = _scan_prod_sub(one_minus, interpret)
-        t_before = carry_t * _shift_down_one(p_incl, interpret)
+        p_incl = _scan_prod(one_minus, interpret, 0)
+        t_before = carry_t * _shift_one(p_incl, interpret, 0)
         cp = carry_t * p_incl  # T inclusive of this pair
         live = cp >= T_EPS
         w = jnp.where(live, alpha * t_before, 0.0)  # [Kc, P]
@@ -292,7 +318,6 @@ def _bwd_kernel(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref, fwd_ref,
         ).start()
 
     _window_dma(pay_hbm, tstart_ref, scratch, sem, slot, t, k_cap).wait()
-    buf = scratch.at[slot]  # tail garbage sanitized in _chunk_fields
     gbuf = gscratch.at[slot]
     ox, oy = _origin(grid_x, meta_ref[0])
     basis = _pixel_basis()
@@ -300,11 +325,9 @@ def _bwd_kernel(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref, fwd_ref,
     g_pix = gout_ref[0, :, :5]  # [P, 5]
     g_ft = gout_ref[0, :, 5:6].T  # [1, P]
 
-    # The old pass 1 recomputed total = sum_i w_i * (feat_i . g_pix) and
-    # final_t with a full extra walk over the pairs. Both come for free from
-    # the SAVED forward output: by linearity total = acc . g_pix (acc is the
-    # forward's pre-background 5-channel accumulation, fwd_ref[..., :5]),
-    # and final_t was stored at channel 5.
+    # By linearity total = acc . g_pix (acc is the forward's pre-background
+    # 5-channel accumulation, fwd_ref[..., :5]) and final_t was stored at
+    # channel 5 — no extra forward walk needed.
     final_t = fwd_ref[0, :, 5:6].T  # [1, P]
     total = jnp.sum(
         fwd_ref[0, :, :5] * g_pix, axis=1, keepdims=True
@@ -315,12 +338,13 @@ def _bwd_kernel(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref, fwd_ref,
     # the front-to-back transmittance scan this pass already performs)
     def body2(carry):
         c, carry_t, prefix = carry
+        blk = scratch[slot, pl.ds(c * k_chunk, k_chunk), :]
         alpha, g, keep, (mx, my, ca, cb, cc, op), feat = _chunk_fields(
-            buf, c, k_chunk, cnt, basis, ox, oy
+            blk, c, k_chunk, 0, cnt, basis, ox, oy
         )
         one_minus = 1.0 - alpha
-        p_incl = _scan_prod_sub(one_minus, interpret)
-        t_before = carry_t * _shift_down_one(p_incl, interpret)
+        p_incl = _scan_prod(one_minus, interpret, 0)
+        t_before = carry_t * _shift_one(p_incl, interpret, 0)
         cp = carry_t * p_incl
         live = cp >= T_EPS
         w = jnp.where(live, alpha * t_before, 0.0)
@@ -329,12 +353,11 @@ def _bwd_kernel(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref, fwd_ref,
             preferred_element_type=jnp.float32, precision=HI,
         )  # [Kc, P]
         contrib = w * fdot
-        prefix_inc = prefix + _scan_incl_sub(contrib, interpret)
-        # `total` was reduced in the forward with a different order
-        # (dot_general(w, feat) then dot with g_pix), so the last live
-        # pair's suffix cancels only to within fp rounding: g_alpha picks up
-        # O(eps * total) noise. Within gradient-parity tolerance in f32; if
-        # the feature dots ever move to bf16, re-evaluate this cancellation.
+        prefix_inc = prefix + _scan_incl(contrib, interpret, 0)
+        # `total` was reduced in the forward with a different order, so the
+        # last live pair's suffix cancels only to within fp rounding:
+        # g_alpha picks up O(eps * total) noise. Within gradient-parity
+        # tolerance in f32.
         suffix = total - prefix_inc
         g_alpha = fdot * t_before - (suffix + final_t * g_ft) / one_minus
         g_alpha = jnp.where(live & keep, g_alpha, 0.0)  # [Kc, P]
@@ -426,11 +449,292 @@ def _bwd_kernel(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref, fwd_ref,
         _gwrite(slot, t).wait()
 
 
+# --------------------------------------------------------------------------
+# COL layout kernels: pairs on lanes, [P, Kc] compute blocks
+# --------------------------------------------------------------------------
+
+
+def _win_lanes(k_cap, k_chunk):
+    """Lanes per col window: k_cap pairs + one LANE block so any sub-block
+    start offset still covers k_cap pairs, rounded to the chunk grid."""
+    w = k_cap + LANE
+    return -(-w // k_chunk) * k_chunk
+
+
+def _window_dma_col(pay_hbm, tstart_ref, scratch, sem, slot, t, k_cap,
+                    k_chunk):
+    wl = k_cap + LANE  # DMA'd lanes (scratch may be chunk-padded wider)
+    base = pl.multiple_of((tstart_ref[t] // LANE) * LANE, LANE)
+    return pltpu.make_async_copy(
+        pay_hbm.at[:, pl.ds(base, wl)],
+        scratch.at[slot, :, pl.ds(0, wl)],
+        sem.at[slot],
+    )
+
+
+def _chunk_fields_col(blk, c, k_chunk, lo, hi, basis_t, ox, oy):
+    """Col-layout twin of _chunk_fields: blk is [NF, Kc] (fields on
+    sublanes, pairs on lanes); all per-pair vectors are [1, Kc] rows and
+    the alpha/weight blocks are [P, Kc]."""
+    kidx = c * k_chunk + jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
+    rowok = (kidx >= lo) & (kidx < hi)  # [1, Kc]
+
+    def col(j):
+        return jnp.where(rowok, blk[j:j + 1, :], 0.0)  # [1, Kc]
+
+    mx, my = col(0) - ox, col(1) - oy
+    ca, cb, cc = col(2), col(3), col(4)
+    op = col(5)
+    coef = jnp.concatenate(
+        [
+            -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my,  # 1
+            ca * mx + cb * my,  # px
+            cc * my + cb * mx,  # py
+            -0.5 * ca,  # px^2
+            -0.5 * cc,  # py^2
+            -cb,  # px*py
+        ],
+        axis=0,
+    )  # [6, Kc]
+    power = jax.lax.dot_general(
+        basis_t, coef, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=HI,
+    )  # [P, Kc]
+    g = jnp.exp(jnp.minimum(power, 0.0))
+    alpha_raw = jnp.minimum(ALPHA_MAX, op * g)
+    keep = rowok & (power <= 1e-4) & (alpha_raw >= ALPHA_EPS)
+    alpha = jnp.where(keep, alpha_raw, 0.0)
+    feat = jnp.where(rowok, blk[6:11, :], 0.0)  # [5, Kc]
+    return alpha, g, keep, (mx, my, ca, cb, cc, op), feat
+
+
+def _fwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, out_ref, scratch,
+                    sem, *, k_cap, k_chunk, grid_x, n_tiles, early_exit,
+                    interpret):
+    t = pl.program_id(0)
+    cnt = jnp.minimum(cnt_ref[t], k_cap)
+    shift = tstart_ref[t] % LANE
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        _window_dma_col(pay_hbm, tstart_ref, scratch, sem, 0, t, k_cap,
+                        k_chunk).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _window_dma_col(pay_hbm, tstart_ref, scratch, sem, 1 - slot, t + 1,
+                        k_cap, k_chunk).start()
+
+    _window_dma_col(pay_hbm, tstart_ref, scratch, sem, slot, t, k_cap,
+                    k_chunk).wait()
+    ox, oy = _origin(grid_x, meta_ref[0])
+    basis_t = _pixel_basis(transposed=True)  # [P, 6]
+    n_chunks = jax.lax.div(shift + cnt + (k_chunk - 1), k_chunk)
+
+    def body(carry):
+        c, acc, carry_t, t_live = carry
+        blk = scratch[slot, :, pl.ds(c * k_chunk, k_chunk)]  # [NF, Kc]
+        alpha, _, _, _, feat = _chunk_fields_col(
+            blk, c, k_chunk, shift, shift + cnt, basis_t, ox, oy
+        )
+        one_minus = 1.0 - alpha  # [P, Kc]
+        p_incl = _scan_prod(one_minus, interpret, 1)
+        t_before = carry_t * _shift_one(p_incl, interpret, 1)
+        cp = carry_t * p_incl
+        live = cp >= T_EPS
+        w = jnp.where(live, alpha * t_before, 0.0)  # [P, Kc]
+        acc = acc + jax.lax.dot_general(
+            w, feat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # [P, 5]
+        t_live = jnp.minimum(
+            t_live, jnp.min(jnp.where(live, cp, 1.0), axis=1, keepdims=True)
+        )  # [P, 1]
+        return c + 1, acc, cp[:, -1:], t_live
+
+    init = (jnp.int32(0), jnp.zeros((P, 5), jnp.float32),
+            jnp.ones((P, 1), jnp.float32), jnp.ones((P, 1), jnp.float32))
+    if early_exit:
+        def cond(carry):
+            c, _, carry_t, _ = carry
+            return (c < n_chunks) & (jnp.max(carry_t) >= T_EPS)
+
+        _, acc, _, t_live = jax.lax.while_loop(cond, body, init)
+    else:
+        _, acc, _, t_live = jax.lax.fori_loop(
+            0, n_chunks, lambda i, carry: body(carry), init
+        )
+    out_ref[0] = jnp.concatenate(
+        [acc, t_live, jnp.zeros((P, 2), jnp.float32)], axis=1
+    )
+
+
+def _bwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref,
+                    fwd_ref, gpay_hbm, scratch, gscratch, sem, gsem, *,
+                    k_cap, k_chunk, grid_x, n_tiles, early_exit, interpret):
+    t = pl.program_id(0)
+    start = tstart_ref[t]
+    cnt = jnp.minimum(cnt_ref[t], k_cap)
+    shift = start % LANE
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        _window_dma_col(pay_hbm, tstart_ref, scratch, sem, 0, t, k_cap,
+                        k_chunk).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        _window_dma_col(pay_hbm, tstart_ref, scratch, sem, 1 - slot, t + 1,
+                        k_cap, k_chunk).start()
+
+    _window_dma_col(pay_hbm, tstart_ref, scratch, sem, slot, t, k_cap,
+                    k_chunk).wait()
+    gbuf = gscratch.at[slot]
+    ox, oy = _origin(grid_x, meta_ref[0])
+    basis = _pixel_basis()  # [6, P]
+    basis_t = _pixel_basis(transposed=True)  # [P, 6]
+    n_chunks = jax.lax.div(shift + cnt + (k_chunk - 1), k_chunk)
+    g_pix = gout_ref[0, :, :5]  # [P, 5]
+    g_ft = gout_ref[0, :, 5:6]  # [P, 1]
+    final_t = fwd_ref[0, :, 5:6]  # [P, 1]
+    total = jnp.sum(
+        fwd_ref[0, :, :5] * g_pix, axis=1, keepdims=True
+    )  # [P, 1]
+
+    def body2(carry):
+        c, carry_t, prefix = carry
+        blk = scratch[slot, :, pl.ds(c * k_chunk, k_chunk)]
+        alpha, g, keep, (mx, my, ca, cb, cc, op), feat = _chunk_fields_col(
+            blk, c, k_chunk, shift, shift + cnt, basis_t, ox, oy
+        )
+        one_minus = 1.0 - alpha
+        p_incl = _scan_prod(one_minus, interpret, 1)
+        t_before = carry_t * _shift_one(p_incl, interpret, 1)
+        cp = carry_t * p_incl
+        live = cp >= T_EPS
+        w = jnp.where(live, alpha * t_before, 0.0)  # [P, Kc]
+        fdot = jax.lax.dot_general(
+            g_pix, feat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # [P, Kc]
+        contrib = w * fdot
+        prefix_inc = prefix + _scan_incl(contrib, interpret, 1)
+        suffix = total - prefix_inc
+        g_alpha = fdot * t_before - (suffix + final_t * g_ft) / one_minus
+        g_alpha = jnp.where(live & keep, g_alpha, 0.0)  # [P, Kc]
+
+        gG = g_alpha * (op * g)
+        S = jax.lax.dot_general(
+            basis, gG, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # [6, Kc]
+        s0, sx, sy = S[0:1, :], S[1:2, :], S[2:3, :]
+        sxx, syy, sxy = S[3:4, :], S[4:5, :], S[5:6, :]
+        gdx = mx * s0 - sx
+        gdy = my * s0 - sy
+        gdxx = mx * mx * s0 - 2.0 * mx * sx + sxx
+        gdyy = my * my * s0 - 2.0 * my * sy + syy
+        gdxy = mx * my * s0 - mx * sy - my * sx + sxy
+        g_mx = -(ca * gdx + cb * gdy)
+        g_my = -(cc * gdy + cb * gdx)
+        g_ca = -0.5 * gdxx
+        g_cb = -gdxy
+        g_cc = -0.5 * gdyy
+        g_opac = jnp.where(op > 0.0, s0 / jnp.where(op > 0.0, op, 1.0), 0.0)
+        g_feat = jax.lax.dot_general(
+            g_pix, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # [5, Kc]
+        gchunk = jnp.concatenate(
+            [g_mx, g_my, g_ca, g_cb, g_cc, g_opac, g_feat,
+             jnp.zeros((NF - 11, k_chunk), jnp.float32)],
+            axis=0,
+        )  # [NF, Kc]
+        gbuf[:, pl.ds(c * k_chunk, k_chunk)] = gchunk
+        return c + 1, cp[:, -1:], prefix_inc[:, -1:]
+
+    def cond2(carry):
+        c, carry_t, _ = carry
+        return (c < n_chunks) & (jnp.max(carry_t) >= T_EPS)
+
+    init2 = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
+             jnp.zeros((P, 1), jnp.float32))
+    if early_exit:
+        walked, _, _ = jax.lax.while_loop(cond2, body2, init2)
+    else:
+        walked, _, _ = jax.lax.fori_loop(
+            0, n_chunks, lambda i, carry: body2(carry), init2
+        )
+
+    # zero the lanes the walk did not reach (chunk-granular)
+    wl_alloc = _win_lanes(k_cap, k_chunk)
+
+    def zero_chunk(z, _):
+        gbuf[:, pl.ds(z * k_chunk, k_chunk)] = jnp.zeros(
+            (NF, k_chunk), jnp.float32
+        )
+        return _
+
+    jax.lax.fori_loop(walked, wl_alloc // k_chunk, zero_chunk, 0)
+
+    # Boundary-block merge: this window's first LANE block also holds the
+    # previous tile's last (shift) pairs; their gradients are still live in
+    # the other double-buffer slot of the sequential grid. Without this the
+    # ordered write-back (later windows overwrite earlier tails) would wipe
+    # them. Chains across many tiny tiles sharing one block: each tile's
+    # first block is merged before ITS write, so the immediate predecessor
+    # always carries the accumulated values. Skipped when the previous tile
+    # overflowed past this boundary (off > k_cap): those pairs are beyond
+    # k_cap and carry exact-zero gradients by the clipping contract.
+    prev_base = (tstart_ref[jnp.maximum(t - 1, 0)] // LANE) * LANE
+    base = (start // LANE) * LANE
+    off = base - prev_base
+
+    @pl.when((t >= 1) & (shift > 0) & (off <= k_cap))
+    def _():
+        off_al = pl.multiple_of(off, LANE)
+        prev_blk = gscratch[1 - slot, :, pl.ds(off_al, LANE)]  # [NF, LANE]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (NF, LANE), 1)
+        cur = gbuf[:, pl.ds(0, LANE)]
+        gbuf[:, pl.ds(0, LANE)] = jnp.where(lane < shift, prev_blk, cur)
+
+    # ordered write-back of the k_cap + LANE window lanes
+    def _gwrite(s, tt):
+        wl = k_cap + LANE
+        b = pl.multiple_of((tstart_ref[tt] // LANE) * LANE, LANE)
+        return pltpu.make_async_copy(
+            gscratch.at[s, :, pl.ds(0, wl)],
+            gpay_hbm.at[:, pl.ds(b, wl)],
+            gsem.at[s],
+        )
+
+    @pl.when(t >= 1)
+    def _():
+        _gwrite(1 - slot, t - 1).wait()
+
+    _gwrite(slot, t).start()
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        _gwrite(slot, t).wait()
+
+
+# --------------------------------------------------------------------------
+# pallas_call builders
+# --------------------------------------------------------------------------
+
+
 def _fused_fwd_call(pay_pad, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
-                    interpret, tile0=None, early_exit=True):
+                    interpret, tile0=None, early_exit=True, col=False):
     kernel = functools.partial(
-        _fwd_kernel, k_cap=k_cap, k_chunk=k_chunk, grid_x=grid_x,
+        _fwd_kernel_col if col else _fwd_kernel,
+        k_cap=k_cap, k_chunk=k_chunk, grid_x=grid_x,
         n_tiles=n_tiles, early_exit=early_exit, interpret=interpret,
+    )
+    scratch_shape = (
+        (2, NF, _win_lanes(k_cap, k_chunk)) if col else (2, k_cap, NFF)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -440,7 +744,7 @@ def _fused_fwd_call(pay_pad, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
             (1, P, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, k_cap, NFF), jnp.float32),
+            pltpu.VMEM(scratch_shape, jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -455,10 +759,15 @@ def _fused_fwd_call(pay_pad, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
 
 
 def _fused_bwd_call(pay_pad, gout, out8, tstart, cnt, n_tiles, k_cap,
-                    k_chunk, grid_x, interpret, tile0=None, early_exit=True):
+                    k_chunk, grid_x, interpret, tile0=None, early_exit=True,
+                    col=False):
     kernel = functools.partial(
-        _bwd_kernel, k_cap=k_cap, k_chunk=k_chunk, grid_x=grid_x,
+        _bwd_kernel_col if col else _bwd_kernel,
+        k_cap=k_cap, k_chunk=k_chunk, grid_x=grid_x,
         n_tiles=n_tiles, early_exit=early_exit, interpret=interpret,
+    )
+    scratch_shape = (
+        (2, NF, _win_lanes(k_cap, k_chunk)) if col else (2, k_cap, NFF)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -474,8 +783,8 @@ def _fused_bwd_call(pay_pad, gout, out8, tstart, cnt, n_tiles, k_cap,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, k_cap, NFF), jnp.float32),
-            pltpu.VMEM((2, k_cap, NFF), jnp.float32),
+            pltpu.VMEM(scratch_shape, jnp.float32),
+            pltpu.VMEM(scratch_shape, jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -498,12 +807,12 @@ class FusedOut(NamedTuple):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
 )
 def _fused_sorted_blend(pay_cols, tile_tab, depth_tab, shape_info, tcap,
-                        k_chunk, interpret, early_exit=True):
+                        k_chunk, interpret, early_exit=True, col=False):
     out, _ = _fused_fwd(pay_cols, tile_tab, depth_tab, shape_info, tcap,
-                        k_chunk, interpret, early_exit)
+                        k_chunk, interpret, early_exit, col)
     return out
 
 
@@ -514,8 +823,7 @@ def _sort_and_range(pay_cols, tile_tab, depth_tab, n_tiles, tcap):
     through the sort: [N,k] (k<128) arrays on TPU pad their minor dim to the
     128-lane tile in HBM, so the old row-form pipeline (concat [N,11] ->
     broadcast [P,11] -> sort -> stack [P,11]) moved ~8x the bytes of the
-    payload it carried. Only the kernel's [rows, NFF] DMA source is ever
-    materialized in padded form, once, in _fused_fwd."""
+    payload it carried."""
     p = tile_tab.shape[0]
     n = pay_cols[0].shape[0]
     assert p == n * tcap, (p, n, tcap)  # dense [tcap, N] emission layout
@@ -533,8 +841,18 @@ def _sort_and_range(pay_cols, tile_tab, depth_tab, n_tiles, tcap):
     return sorted_cols, sort_tile, src_idx, tstart, tend - tstart
 
 
+def _pack_col(sorted_cols, p, k_cap):
+    """Stack sorted [p] columns into the col-layout [NF, L] payload (NF=16
+    sublanes: no lane padding anywhere, 64 B/pair). L covers the largest
+    window: base <= ceil(p/LANE)*LANE, + k_cap + LANE lanes."""
+    f = len(sorted_cols)
+    L = -(-p // LANE) * LANE + k_cap + LANE
+    x = jnp.zeros((NF, L), jnp.float32)
+    return x.at[:f, :p].set(jnp.stack(sorted_cols, axis=0))
+
+
 def _fused_fwd(pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk,
-               interpret, early_exit=True):
+               interpret, early_exit=True, col=False):
     n_tiles, k_cap, grid_x = shape_info
     n = pay_cols[0].shape[0]
     f = len(pay_cols)
@@ -542,13 +860,16 @@ def _fused_fwd(pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk,
         pay_cols, tile_tab, depth_tab, n_tiles, tcap
     )
     p = tile_tab.shape[0]
-    # the ONE padded materialization: [rows, NFF] DMA source for the kernel
-    # (rows padded so every [start, start+k_cap) window is in bounds)
-    pay_pad = jnp.zeros((p + k_cap, NFF), jnp.float32)
-    pay_pad = pay_pad.at[:p, :f].set(jnp.stack(sorted_cols, axis=-1))
+    # the ONE materialization: the kernels' DMA source. col: 64 B/pair;
+    # wide: 512 B/pair (rows padded so every window is in bounds).
+    if col:
+        pay_pad = _pack_col(sorted_cols, p, k_cap)
+    else:
+        pay_pad = jnp.zeros((p + k_cap, NFF), jnp.float32)
+        pay_pad = pay_pad.at[:p, :f].set(jnp.stack(sorted_cols, axis=-1))
     out8 = _fused_fwd_call(
         pay_pad, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x, interpret,
-        early_exit=early_exit,
+        early_exit=early_exit, col=col,
     )
     out = FusedOut(
         out8=out8,
@@ -560,13 +881,14 @@ def _fused_fwd(pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk,
     return out, res
 
 
-def _fused_bwd(shape_info, tcap, k_chunk, interpret, early_exit, res, cots):
+def _fused_bwd(shape_info, tcap, k_chunk, interpret, early_exit, col, res,
+               cots):
     n_tiles, k_cap, grid_x = shape_info
     pay_pad, out8, sort_tile, src_idx, tstart, cnt, n, f = res
     g_out8 = cots.out8
     gpay_pad = _fused_bwd_call(
         pay_pad, g_out8, out8, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
-        interpret, early_exit=early_exit,
+        interpret, early_exit=early_exit, col=col,
     )
     # back to emission order: the kernel wrote gradient rows at SORTED
     # positions, and src_idx is the emission index of each sorted row, so
@@ -581,14 +903,18 @@ def _fused_bwd(shape_info, tcap, k_chunk, interpret, early_exit, res, cots):
     tile_c = jnp.where(in_range, tile, 0)
     k = pos - jnp.take(tstart, tile_c)
     ok = in_range & (k < k_cap)
-    # per-column 1-D extraction BEFORE the sort (column form: the padded
-    # [rows, NFF] gradient array is read once, fused with the where; each
-    # sort operand is an unpadded [p] array); where(), not multiply: rows
-    # no tile window wrote are uninitialized and may hold NaN, which a
-    # 0-multiply would propagate
-    gcols = tuple(
-        jnp.where(ok, gpay_pad[:p, j], 0.0) for j in range(f)
-    )
+    # per-column 1-D extraction BEFORE the sort; col layout: column j is
+    # ROW j of the [NF, L] gradient array — a contiguous unpadded slice.
+    # where(), not multiply: positions no tile window wrote are
+    # uninitialized and may hold NaN, which a 0-multiply would propagate
+    if col:
+        gcols = tuple(
+            jnp.where(ok, gpay_pad[j, :p], 0.0) for j in range(f)
+        )
+    else:
+        gcols = tuple(
+            jnp.where(ok, gpay_pad[:p, j], 0.0) for j in range(f)
+        )
     sorted_out = jax.lax.sort((src_idx,) + gcols, num_keys=1)
     g_cols = tuple(
         emission_reduce(c, n, tcap_b) for c in sorted_out[1:]
@@ -612,6 +938,7 @@ def rasterize_fused(
     k_chunk: int,
     interpret: bool = False,
     early_exit: bool = True,
+    col: bool = False,
 ):
     """Differentiable fused path. Returns FusedOut (out8 pre-background)."""
     grid_x, grid_y = grid_dims(width, height)
@@ -626,7 +953,7 @@ def rasterize_fused(
     shape_info = (n_tiles, tile_capacity, grid_x)
     out = _fused_sorted_blend(
         pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk, interpret,
-        early_exit,
+        early_exit, col,
     )
     num_pairs = jnp.sum(prep.tiles_touched)
     return out._replace(num_pairs=num_pairs)

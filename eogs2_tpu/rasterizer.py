@@ -62,6 +62,12 @@ class RasterizeConfig:
     # sync for the loop condition — enable for opaque/converged scenes,
     # disable for translucent ones where tiles rarely die early.
     early_exit: bool = True
+    # fused kernels: column-major payload layout [16, pairs] (64 B/pair of
+    # HBM traffic) with pairs-on-lanes kernels, instead of one pair per
+    # 128-lane row (512 B/pair). Cuts the payload materialization, kernel
+    # window DMA, and gradient write-back traffic 8x; bit-identical
+    # results (ops/fused_raster.py).
+    payload_col: bool = True
 
     def bucketed(self, max_tile: int, max_tiles_per_gaussian: int) -> "RasterizeConfig":
         """Next power-of-two bucket that fits the observed sizes."""
@@ -177,6 +183,7 @@ def rasterize(
             k_chunk=k_chunk,
             interpret=jax.default_backend() == "cpu",
             early_exit=config.early_exit,
+            col=config.payload_col,
         )
         out = fo.out8[:, :, :5] + fo.out8[:, :, 5:6] * bg[None, None, :]
         final_t = fo.out8[:, :, 5]

@@ -1,0 +1,106 @@
+"""Grouped vs wide payload layout on the current device: correctness
+(image + all input grads allclose) and fwd+bwd timing at bench scale.
+
+Usage: ./tpurun.sh python scripts/prof_grouped.py [N [W [TCAP [KCAP [KCHUNK [EE]]]]]]
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from eogs2_tpu.rasterizer import RasterizeConfig, rasterize
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+W = H = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+TCAP = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+KCAP = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+KCHUNK = int(sys.argv[5]) if len(sys.argv) > 5 else 128
+EE = bool(int(sys.argv[6])) if len(sys.argv) > 6 else True
+REPS = 20
+
+rng = np.random.RandomState(42)
+means = rng.uniform(-0.9, 0.9, (N, 3)).astype(np.float32)
+means[:, 2] = -0.3 + 0.1 * rng.rand(N)
+SCALE_PX = 2.4 / W if N >= 500_000 else 0.006
+OPAC = 0.10 if N >= 500_000 else 0.7
+scales = np.full((N, 3), SCALE_PX, np.float32)
+quats = np.tile(np.array([1, 0, 0, 0], np.float32), (N, 1))
+opac = np.full((N,), OPAC, np.float32)
+rgb = rng.uniform(0.2, 0.9, (N, 3)).astype(np.float32)
+affine = np.array(
+    [[1.0, 0.05, 0.3, 0.0], [0.0, 1.0, -0.2, 0.0], [0, 0, 1.0, 0.0]],
+    np.float32,
+)
+alt = means @ affine[2, :3] + affine[2, 3]
+feat = np.concatenate([rgb, alt[:, None], np.ones((N, 1), np.float32)], 1)
+bg = np.array([0, 0, 0, -1, 0], np.float32)
+args = tuple(jnp.asarray(x) for x in (means, scales, quats, opac, feat))
+affine_j = jnp.asarray(affine)
+bg_j = jnp.asarray(bg)
+
+
+def run(grouped):
+    cfg = RasterizeConfig(
+        tile_capacity=KCAP, tile_chunk=KCHUNK, max_tiles_per_gaussian=TCAP,
+        binning_mode="fused", early_exit=EE, payload_col=grouped,
+    )
+
+    @jax.jit
+    def vg(means, scales, quats, opac, feat):
+        def loss(m, s, q, o_, f_):
+            out = rasterize(m, s, q, o_, f_, affine_j, bg_j, W, H, cfg)
+            return jnp.sum(out.image[:3] ** 2) + jnp.sum(out.final_t), out.image
+
+        (v, img), g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4),
+                                         has_aux=True)(
+            means, scales, quats, opac, feat)
+        return v, img, g
+
+    v, img, g = vg(*args)
+    jax.block_until_ready(g)
+    float(v)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        v, img, g = vg(*args)
+    jax.block_until_ready(g)
+    float(v)
+    dt = (time.perf_counter() - t0) / REPS
+    return v, img, g, dt
+
+
+print(f"device={jax.devices()[0].platform} N={N} {W}x{H} tcap={TCAP} "
+      f"kcap={KCAP} kchunk={KCHUNK} early_exit={EE}", flush=True)
+v_w, img_w, g_w, dt_w = run(False)
+print(f"wide    : {dt_w * 1e3:8.2f} ms  ({W * H / dt_w / 1e6:6.2f} Mrays/s)",
+      flush=True)
+v_g, img_g, g_g, dt_g = run(True)
+print(f"grouped : {dt_g * 1e3:8.2f} ms  ({W * H / dt_g / 1e6:6.2f} Mrays/s)",
+      flush=True)
+
+np.testing.assert_allclose(np.asarray(img_w), np.asarray(img_g), atol=1e-5)
+names = ["means", "scales", "quats", "opac", "feat"]
+for a, b, nm in zip(g_w, g_g, names):
+    aw = np.asarray(a)
+    bw = np.asarray(b)
+    scale = np.max(np.abs(aw)) + 1e-30
+    err = np.max(np.abs(aw - bw)) / scale
+    # fp reduction-order noise between the two matmul orientations; the
+    # golden parity bar is 2e-4
+    assert err < 1e-4, (nm, err)
+    print(f"grad {nm}: rel err {err:.2e}", flush=True)
+print("GROUPED == WIDE ok", flush=True)
