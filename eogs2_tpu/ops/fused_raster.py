@@ -496,10 +496,12 @@ def _chunk_fields_col(blk, c, k_chunk, lo, hi, basis_t, ox, oy):
         ],
         axis=0,
     )  # [6, Kc]
-    power = jax.lax.dot_general(
-        basis_t, coef, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=HI,
-    )  # [P, Kc]
+    # power[P,Kc] = sum_j basis_t[:,j] (x) coef[j,:] — 6 exact-f32 outer
+    # FMAs on the VPU; an MXU matmul here pads the 6-dim contraction to 128
+    # and needs 6 passes for f32 precision (~10x the work)
+    power = coef[0:1, :] * basis_t[:, 0:1]
+    for _j in range(1, 6):
+        power = power + basis_t[:, _j:_j + 1] * coef[_j:_j + 1, :]
     g = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = jnp.minimum(ALPHA_MAX, op * g)
     keep = rowok & (power <= 1e-4) & (alpha_raw >= ALPHA_EPS)
@@ -544,10 +546,11 @@ def _fwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, out_ref, scratch,
         cp = carry_t * p_incl
         live = cp >= T_EPS
         w = jnp.where(live, alpha * t_before, 0.0)  # [P, Kc]
-        acc = acc + jax.lax.dot_general(
-            w, feat, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
-        )  # [P, 5]
+        acc = acc + jnp.concatenate(
+            [jnp.sum(w * feat[_j:_j + 1, :], axis=1, keepdims=True)
+             for _j in range(5)],
+            axis=1,
+        )  # [P, 5] — 5 exact lane-reductions instead of an MXU matmul
         t_live = jnp.minimum(
             t_live, jnp.min(jnp.where(live, cp, 1.0), axis=1, keepdims=True)
         )  # [P, 1]
@@ -593,7 +596,6 @@ def _bwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref,
                     k_chunk).wait()
     gbuf = gscratch.at[slot]
     ox, oy = _origin(grid_x, meta_ref[0])
-    basis = _pixel_basis()  # [6, P]
     basis_t = _pixel_basis(transposed=True)  # [P, 6]
     n_chunks = jax.lax.div(shift + cnt + (k_chunk - 1), k_chunk)
     g_pix = gout_ref[0, :, :5]  # [P, 5]
@@ -615,10 +617,9 @@ def _bwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref,
         cp = carry_t * p_incl
         live = cp >= T_EPS
         w = jnp.where(live, alpha * t_before, 0.0)  # [P, Kc]
-        fdot = jax.lax.dot_general(
-            g_pix, feat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
-        )  # [P, Kc]
+        fdot = g_pix[:, 0:1] * feat[0:1, :]
+        for _j in range(1, 5):
+            fdot = fdot + g_pix[:, _j:_j + 1] * feat[_j:_j + 1, :]
         contrib = w * fdot
         prefix_inc = prefix + _scan_incl(contrib, interpret, 1)
         suffix = total - prefix_inc
@@ -626,9 +627,13 @@ def _bwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref,
         g_alpha = jnp.where(live & keep, g_alpha, 0.0)  # [P, Kc]
 
         gG = g_alpha * (op * g)
-        S = jax.lax.dot_general(
-            basis, gG, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
+        # S[6,Kc] rows = sublane-reductions of gG against the basis
+        # columns (row 0 of the basis is all-ones)
+        S = jnp.concatenate(
+            [jnp.sum(gG, axis=0, keepdims=True)]
+            + [jnp.sum(gG * basis_t[:, _j:_j + 1], axis=0, keepdims=True)
+               for _j in range(1, 6)],
+            axis=0,
         )  # [6, Kc]
         s0, sx, sy = S[0:1, :], S[1:2, :], S[2:3, :]
         sxx, syy, sxy = S[3:4, :], S[4:5, :], S[5:6, :]
@@ -643,9 +648,10 @@ def _bwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref,
         g_cb = -gdxy
         g_cc = -0.5 * gdyy
         g_opac = jnp.where(op > 0.0, s0 / jnp.where(op > 0.0, op, 1.0), 0.0)
-        g_feat = jax.lax.dot_general(
-            g_pix, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
+        g_feat = jnp.concatenate(
+            [jnp.sum(w * g_pix[:, _j:_j + 1], axis=0, keepdims=True)
+             for _j in range(5)],
+            axis=0,
         )  # [5, Kc]
         gchunk = jnp.concatenate(
             [g_mx, g_my, g_ca, g_cb, g_cc, g_opac, g_feat,

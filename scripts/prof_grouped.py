@@ -38,8 +38,11 @@ means = rng.uniform(-0.9, 0.9, (N, 3)).astype(np.float32)
 means[:, 2] = -0.3 + 0.1 * rng.rand(N)
 SCALE_PX = 2.4 / W if N >= 500_000 else 0.006
 OPAC = 0.10 if N >= 500_000 else 0.7
-scales = np.full((N, 3), SCALE_PX, np.float32)
-quats = np.tile(np.array([1, 0, 0, 0], np.float32), (N, 1))
+# anisotropic scales + random quats: with isotropic identity splats the
+# true rotation gradient is ZERO and the quats-grad comparison is noise/
+# noise (observed rel "err" 2.5 on a degenerate scene)
+scales = (SCALE_PX * np.exp(rng.normal(0, 0.3, (N, 3)))).astype(np.float32)
+quats = rng.normal(0, 1, (N, 4)).astype(np.float32)
 opac = np.full((N,), OPAC, np.float32)
 rgb = rng.uniform(0.2, 0.9, (N, 3)).astype(np.float32)
 affine = np.array(
