@@ -68,6 +68,8 @@ class RasterizeConfig:
     # window DMA, and gradient write-back traffic 8x; bit-identical
     # results (ops/fused_raster.py).
     payload_col: bool = True
+    # fused kernels: K-chunk width override (0 = auto via _pick_k_chunk)
+    k_chunk: int = 0
 
     def bucketed(self, max_tile: int, max_tiles_per_gaussian: int) -> "RasterizeConfig":
         """Next power-of-two bucket that fits the observed sizes."""
@@ -85,20 +87,25 @@ class RasterizeConfig:
         )
 
 
-def _pick_k_chunk(tile_capacity: int, scan_is_matmul: bool = False) -> int:
+def _pick_k_chunk(tile_capacity: int, scan_is_matmul: bool = False,
+                  col: bool = False) -> int:
     """K-chunk for the Pallas kernels.
 
-    Two regimes, both measured on the target chip at K=512/1024 tiles:
-      * tri-matmul scans (fused_raster): cost is LINEAR in chunk width
-        ([P,kc]@[kc,kc] per chunk), so prefer SMALL chunks — 128 took
-        fwd 8.3->6.6 ms and bwd 14.8->9.1 ms vs 512. 64-wide tri matmuls
-        fail to lower in Mosaic, so 64 is a last resort (CPU interpret
-        handles it).
-      * roll-based scans (blend_pallas._scan_incl): total roll steps are
-        (K/kc)*log2(kc), so prefer LARGE chunks — kc=512 measured 6.2 ms
-        fwd vs 7.9 ms at kc=128.
+    Measured on the target chip at K=512/1024 tiles:
+      * col fused kernels (roll scans + VPU basis FMAs): kc=256 is the
+        sweet spot (25.3 ms e2e vs 27.3 @128 and 26.3 @512 at bench
+        scale); chunks must be >=128 — lane slices below a full 128-lane
+        block fail to lower (Mosaic can't prove sub-128 alignment).
+      * wide fused kernels: 128 (historical tri-matmul tuning).
+      * roll-based blend_pallas: total roll steps are (K/kc)*log2(kc), so
+        prefer LARGE chunks — kc=512 measured 6.2 ms fwd vs 7.9 @128.
     """
-    order = (128, 256, 384, 512, 64) if scan_is_matmul else (512, 384, 256, 128, 64)
+    if col:
+        order = (256, 128, 384, 512)
+    elif scan_is_matmul:
+        order = (128, 256, 384, 512, 64)
+    else:
+        order = (512, 384, 256, 128, 64)
     return next(
         d for d in order + (tile_capacity,) if tile_capacity % d == 0
     )
@@ -175,7 +182,10 @@ def rasterize(
         # table (ops/fused_raster.py); interpret mode on CPU
         from eogs2_tpu.ops.fused_raster import rasterize_fused
 
-        k_chunk = _pick_k_chunk(config.tile_capacity, scan_is_matmul=True)
+        k_chunk = config.k_chunk or _pick_k_chunk(
+            config.tile_capacity, scan_is_matmul=True,
+            col=config.payload_col,
+        )
         fo = rasterize_fused(
             prep, features, width, height,
             tcap=config.max_tiles_per_gaussian,

@@ -41,6 +41,7 @@ TCAP = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 KCAP = int(sys.argv[4]) if len(sys.argv) > 4 else 512
 KCHUNK = int(sys.argv[5]) if len(sys.argv) > 5 else 128
 EARLY_EXIT = bool(int(sys.argv[6])) if len(sys.argv) > 6 else True
+COL = bool(int(sys.argv[7])) if len(sys.argv) > 7 else True
 REPS = 10
 
 rng = np.random.RandomState(42)
@@ -65,7 +66,7 @@ bg = np.array([0, 0, 0, -1, 0], np.float32)
 )
 CFG = RasterizeConfig(
     tile_capacity=KCAP, tile_chunk=KCHUNK, max_tiles_per_gaussian=TCAP,
-    binning_mode="fused", early_exit=EARLY_EXIT,
+    binning_mode="fused", early_exit=EARLY_EXIT, payload_col=COL,
 )
 
 
@@ -110,11 +111,14 @@ _sorted = jax.jit(lambda pc, tt, dt_: FR._sort_and_range(
     pc, tt, dt_, n_tiles, TCAP))(pay_cols0, tile_tab0, depth_tab0)
 sorted_cols0, sort_tile0, src_idx0, tstart0, cnt0 = _sorted
 p = tile_tab0.shape[0]
-pay_pad0 = jax.jit(
-    lambda sc: jnp.zeros((p + KCAP, FR.NFF), jnp.float32)
-    .at[:p, :len(pay_cols0)].set(jnp.stack(sc, -1)))(sorted_cols0)
+if COL:
+    pay_pad0 = jax.jit(lambda sc: FR._pack_col(sc, p, KCAP))(sorted_cols0)
+else:
+    pay_pad0 = jax.jit(
+        lambda sc: jnp.zeros((p + KCAP, FR.NFF), jnp.float32)
+        .at[:p, :len(pay_cols0)].set(jnp.stack(sc, -1)))(sorted_cols0)
 out8_0 = jax.jit(lambda pp_, ts, cn: FR._fused_fwd_call(
-    pp_, ts, cn, n_tiles, KCAP, KCHUNK, grid_x, INTERP))(
+    pp_, ts, cn, n_tiles, KCAP, KCHUNK, grid_x, INTERP, col=COL))(
         pay_pad0, tstart0, cnt0)
 
 
@@ -150,6 +154,9 @@ def f_sort(z, pay_cols0, tile_tab0, depth_tab0):
 
 
 def f_paypad(z, sorted_cols0):
+    if COL:
+        pay = FR._pack_col(tuple(c + z for c in sorted_cols0), p, KCAP)
+        return jnp.sum(pay[0, :])
     pay = jnp.zeros((p + KCAP, FR.NFF), jnp.float32).at[:p, :11].set(
         jnp.stack([c + z for c in sorted_cols0], -1))
     return jnp.sum(pay[:, 0])
@@ -158,7 +165,7 @@ def f_paypad(z, sorted_cols0):
 def f_fwdkernel(z, pay_pad0, tstart0, cnt0):
     out8 = FR._fused_fwd_call(pay_pad0 + z, tstart0, cnt0, n_tiles, KCAP,
                               KCHUNK, grid_x, INTERP,
-                              early_exit=EARLY_EXIT)
+                              early_exit=EARLY_EXIT, col=COL)
     return jnp.sum(out8[:, :, :6])
 
 
@@ -166,13 +173,17 @@ def f_bwdkernel(z, pay_pad0, out8_0, tstart0, cnt0):
     g_out = jnp.ones_like(out8_0) * (1.0 + z)
     gpay = FR._fused_bwd_call(pay_pad0, g_out, out8_0, tstart0, cnt0,
                               n_tiles, KCAP, KCHUNK, grid_x, INTERP,
-                              early_exit=EARLY_EXIT)
-    return jnp.sum(gpay[:, :11])
+                              early_exit=EARLY_EXIT, col=COL)
+    return jnp.sum(gpay[:11, :] if COL else gpay[:, :11])
 
 
 def f_return_sort(z, pay_pad0, src_idx0):
-    gcols = tuple(jnp.where(src_idx0 >= 0, pay_pad0[:p, j] + z, 0.0)
-                  for j in range(11))
+    if COL:
+        gcols = tuple(jnp.where(src_idx0 >= 0, pay_pad0[j, :p] + z, 0.0)
+                      for j in range(11))
+    else:
+        gcols = tuple(jnp.where(src_idx0 >= 0, pay_pad0[:p, j] + z, 0.0)
+                      for j in range(11))
     s = jax.lax.sort((src_idx0,) + gcols, num_keys=1)
     return sum(jnp.sum(c.reshape(N, -1).sum(1)) for c in s[1:])
 
@@ -182,7 +193,7 @@ def f_blendonly(z, pay_cols0, tile_tab0, depth_tab0):
     difference vs FULL fwd is the in-graph preprocess+keys contribution."""
     out = FR._fused_sorted_blend(
         tuple(c + z for c in pay_cols0), tile_tab0, depth_tab0,
-        (n_tiles, KCAP, grid_x), TCAP, KCHUNK, INTERP, EARLY_EXIT,
+        (n_tiles, KCAP, grid_x), TCAP, KCHUNK, INTERP, EARLY_EXIT, COL,
     )
     return jnp.sum(out.out8[:, :, :6])
 
@@ -204,7 +215,8 @@ def f_fwdbwd(z, means, scales, quats, opac, feat):
 
 print(f"device={jax.devices()[0].platform} N={N} {W}x{H} tcap={TCAP} "
       f"kcap={KCAP} kchunk={KCHUNK} pairs={int(jnp.sum(prep0.tiles_touched))} "
-      f"max_tile={int(jnp.max(cnt0))}", flush=True)
+      f"max_tile={int(jnp.max(cnt0))} early_exit={EARLY_EXIT} col={COL}",
+      flush=True)
 timeit("preprocess fwd", f_prep, means, scales, quats, opac)
 timeit("preprocess fwd+bwd", f_prep_grad, means, scales, quats, opac)
 timeit("emission keys", f_keys, prep0)
