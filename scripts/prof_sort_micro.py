@@ -104,6 +104,40 @@ def main():
         timeit(f"2 keys + 11 payload batched B={b:3d}", s_batched,
                depth_b, tile_b)
 
+    # (f) the NON-SORT pieces of _sort_and_range (round 3: the stage
+    # measures 43.9 ms at 4M rows while the raw sort is 15.8 — find the
+    # rest): searchsorted range-cut + the emission broadcast
+    tile_sorted = jnp.sort(tile)
+    tids = jnp.arange(N_TILES, dtype=jnp.float32)
+
+    def s_searchsorted(d, ts):
+        a = jnp.searchsorted(ts + d * 1e-30, tids).astype(jnp.int32)
+        b2 = jnp.searchsorted(ts + d * 1e-30, tids + 1.0).astype(jnp.int32)
+        return jnp.sum(b2 - a).astype(jnp.float32)
+
+    timeit("searchsorted range-cut (2x)", s_searchsorted, depth, tile_sorted)
+
+    n_src = ROWS // 4
+
+    def s_broadcast(d, c0):
+        cols = tuple(
+            jnp.broadcast_to((c0 + d * 1e-30)[None, :], (4, n_src)).reshape(-1)
+            for _ in range(11)
+        )
+        return sum(c[0] for c in cols)
+
+    timeit("emission broadcast 11x (tcap=4)", s_broadcast, depth,
+           pay[0][:n_src])
+
+    from eogs2_tpu.ops import fused_raster as FR
+
+    def s_sort_and_range(d, t):
+        cols = tuple(c[:n_src] + d * 1e-30 for c in pay)
+        sc, st, si, ts, cn = FR._sort_and_range(cols, t, d, N_TILES, 4)
+        return sc[0][0] + cn[0].astype(jnp.float32)
+
+    timeit("FULL _sort_and_range (tcap=4)", s_sort_and_range, depth, tile)
+
 
 
 
