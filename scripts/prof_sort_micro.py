@@ -31,7 +31,7 @@ jax.config.update(
 )
 
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-N_TILES = 1024
+N_TILES = 1024  # overridden at big ROWS below
 
 
 def timeit(name, f, *args):
@@ -50,6 +50,9 @@ def timeit(name, f, *args):
 
 
 def main():
+    global N_TILES
+    if ROWS >= 2_000_000:
+        N_TILES = 4096  # reference scale: 1 MPix = 64x64 tiles
     rng = np.random.RandomState(0)
     tile = jnp.asarray(rng.randint(0, N_TILES + 1, ROWS).astype(np.float32))
     depth = jnp.asarray(rng.rand(ROWS).astype(np.float32))
@@ -121,7 +124,8 @@ def main():
 
     def s_broadcast(d, c0):
         cols = tuple(
-            jnp.broadcast_to((c0 + d * 1e-30)[None, :], (4, n_src)).reshape(-1)
+            jnp.broadcast_to((c0 + d[:n_src] * 1e-30)[None, :],
+                             (4, n_src)).reshape(-1)
             for _ in range(11)
         )
         return sum(c[0] for c in cols)
@@ -132,7 +136,7 @@ def main():
     from eogs2_tpu.ops import fused_raster as FR
 
     def s_sort_and_range(d, t):
-        cols = tuple(c[:n_src] + d * 1e-30 for c in pay)
+        cols = tuple(c[:n_src] + d[:n_src] * 1e-30 for c in pay)
         sc, st, si, ts, cn = FR._sort_and_range(cols, t, d, N_TILES, 4)
         return sc[0][0] + cn[0].astype(jnp.float32)
 
