@@ -640,6 +640,10 @@ class Trainer:
     # host events (logging, densify/reset cadence, eval, phase changes) so
     # semantics match the per-iteration loop.
     steps_per_dispatch: int = 1
+    # False: freeze rasterizer capacities (no grow/shrink rebucketing) —
+    # for throughput benchmarking, where a mid-run recompile destroys the
+    # measurement. Production keeps True (overflow then clips silently!).
+    auto_rebucket: bool = True
     # auto-pick the fused kernels' chunk-granular early exit from the
     # observed pixel saturation (sat_frac metric): ON when most pixels'
     # transmittance dies (opaque converged scenes — the exit skips real
@@ -998,7 +1002,7 @@ class Trainer:
             # widest tile rect approaches its static capacity, grow to the
             # next bucket and rebuild the compiled steps. Checked cheaply
             # every 50 iterations (each check syncs two scalars).
-            if iteration % 50 == 0:
+            if iteration % 50 == 0 and self.auto_rebucket:
                 mt = float(np.max(np.asarray(metrics["max_tile"])))
                 mtg = float(
                     np.max(np.asarray(metrics.get("max_tiles_per_gaussian", 0.0)))

@@ -4,7 +4,6 @@
 Usage: ./tpurun.sh python scripts/prof_grouped.py [N [W [TCAP [KCAP [KCHUNK [EE]]]]]]
 """
 
-import dataclasses
 import os
 import sys
 import time

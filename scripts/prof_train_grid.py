@@ -15,6 +15,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import jax.numpy as jnp
 
 jax.config.update(
     "jax_compilation_cache_dir",
@@ -44,21 +45,32 @@ print(f"{'vps':>4} {'spd':>4} {'it/s':>8} {'renders/s':>10}", flush=True)
 
 for vps in (1, 2, 4):
     for spd in (1, 4, 16):
-        cfg = baseogs(d, iterations=ITERS + 40)
+        cfg = baseogs(d, iterations=ITERS + 160)
         cfg.logging.tb_log_interval = 10_000
         cfg.optimization.views_per_step = vps
         cfg.optimization.densification.densify_from_iter = 10 ** 9
         cfg.optimization.only_prune = True
         cfg.optimization.iterstart_shadowmapping = 0
         cfg.optimization.iterstart_L_new_resample = 0
-        rcfg = RasterizeConfig(tile_capacity=256, tile_chunk=128,
-                               max_tiles_per_gaussian=8,
+        # start at the CONVERGED capacities for this scene: a mid-timing
+        # rebucket recompiles through the tunnel (~60 s) and destroys the
+        # it/s measurement (observed 0.21 it/s artifacts)
+        rcfg = RasterizeConfig(tile_capacity=2048, tile_chunk=128,
+                               max_tiles_per_gaussian=32,
                                binning_mode="fused")
         tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg,
-                     steps_per_dispatch=spd).setup()
-        tr.train(max_iterations=40, progress=False)  # warmup + compile
+                     steps_per_dispatch=spd, auto_rebucket=False).setup()
+        # warmup past EVERY event cadence (prune at densification_interval
+        # = 100 fragments the dispatch chunks -> new span lengths compile;
+        # a mid-timing compile through the tunnel destroys the row)
+        tr.train(max_iterations=160, progress=False)
+        jax.block_until_ready(tr.state.params.xyz)
         t0 = time.perf_counter()
         tr.train(max_iterations=ITERS, progress=False)
+        # train() enqueues async dispatches; block on the final state or the
+        # measurement is just the enqueue rate (observed "861 it/s")
+        jax.block_until_ready(tr.state.params.xyz)
+        float(jnp.sum(tr.state.params.xyz))
         dt = time.perf_counter() - t0
         its = ITERS / dt
         print(f"{vps:>4} {spd:>4} {its:>8.2f} {its * vps:>10.2f}",
