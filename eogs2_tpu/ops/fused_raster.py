@@ -43,6 +43,7 @@ composite via final_t).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -68,6 +69,9 @@ NFF = 128
 NF = 16
 LANE = 128  # lane-block granularity of col windows
 HI = jax.lax.Precision.HIGHEST
+# emission-sort strategy (see _sort_and_range): 4-operand sort + payload
+# gathers (default) vs 14-operand payload-carrying sort. A/B via env.
+_SORT_GATHER = os.environ.get("EOGS2_SORT_GATHER", "0") != "0"
 
 
 def _scan_incl(x, interpret: bool, axis: int):
@@ -834,13 +838,28 @@ def _sort_and_range(pay_cols, tile_tab, depth_tab, n_tiles, tcap):
     n = pay_cols[0].shape[0]
     assert p == n * tcap, (p, n, tcap)  # dense [tcap, N] emission layout
     tcap_b = p // n
-    em_cols = tuple(emission_broadcast(c, tcap_b) for c in pay_cols)
     iota = jnp.arange(p, dtype=jnp.int32)
-    ops = (tile_tab, depth_tab, iota) + em_cols
-    sorted_ops = jax.lax.sort(ops, num_keys=2)
-    sort_tile = sorted_ops[0]
-    src_idx = sorted_ops[2]
-    sorted_cols = sorted_ops[3:]
+    if _SORT_GATHER:
+        # 4-operand sort (keys + iota + gaussian id) + 11 payload gathers at
+        # the sorted gid: lax.sort cost grows with operand count, so trading
+        # the 11 carried columns for 11 linear-write gathers (and skipping
+        # the 11-column emission broadcast entirely) wins at scale. The sort
+        # is stable, so ties keep emission order and the gathered columns
+        # are bit-identical to the carried ones.
+        gid = emission_broadcast(jnp.arange(n, dtype=jnp.int32), tcap_b)
+        sorted_ops = jax.lax.sort((tile_tab, depth_tab, iota, gid),
+                                  num_keys=2)
+        sort_tile = sorted_ops[0]
+        src_idx = sorted_ops[2]
+        sgid = sorted_ops[3]
+        sorted_cols = tuple(jnp.take(c, sgid) for c in pay_cols)
+    else:
+        em_cols = tuple(emission_broadcast(c, tcap_b) for c in pay_cols)
+        ops = (tile_tab, depth_tab, iota) + em_cols
+        sorted_ops = jax.lax.sort(ops, num_keys=2)
+        sort_tile = sorted_ops[0]
+        src_idx = sorted_ops[2]
+        sorted_cols = sorted_ops[3:]
     tids = jnp.arange(n_tiles, dtype=jnp.float32)
     tstart = jnp.searchsorted(sort_tile, tids).astype(jnp.int32)
     tend = jnp.searchsorted(sort_tile, tids + 1.0).astype(jnp.int32)

@@ -82,6 +82,16 @@ def main():
         return out[2][0].astype(jnp.float32) + out[1][0]
 
     timeit("2 f32 keys + 11 payload (current)", s_2key_pay, depth, tile)
+
+    # (a2) 3-operand sort (keys + iota) + 11 payload gathers at src_idx:
+    # trades 11 sort operands for 11 linear-write random-read gathers
+    def s_2key_gather(d, t):
+        out = jax.lax.sort((t, d, iota), num_keys=2)
+        si = out[2]
+        cols = tuple(jnp.take(c, si) for c in pay)
+        return out[1][0] + cols[0][0]
+
+    timeit("2 keys sort + 11 gathers", s_2key_gather, depth, tile)
     timeit("1 packed f32 key + 11 payload", s_1keyf_pay, packed_f)
     timeit("1 packed i32 key + 11 payload", s_1keyi_pay, depth, packed_i)
     timeit("2 f32 keys + iota only", s_2key_iota, depth, tile)
@@ -167,6 +177,35 @@ def emission_return():
 
     timeit("emission-return inv+gather (cur)", a_inv_gather, rows16)
     timeit("emission-return payload sort", b_payload_sort, rows16)
+
+    # (c) linear-cost inverse permutation: ONE 1-D i32 permutation scatter
+    # (no sort at all) + 11 per-column gathers. Sort cost is superlinear;
+    # if TPU lowers the unique-indices scatter well this wins at scale.
+    def c_scatter_inv(r16):
+        inv = jnp.zeros((ROWS,), jnp.int32).at[src_idx].set(
+            pos, unique_indices=True, mode="drop"
+        )
+        cols = tuple(jnp.take(r16[:, j], inv) for j in range(11))
+        return cols[0][0]
+
+    # (d) skip emission order entirely: the consumer only needs gradients
+    # summed PER GAUSSIAN (n = ROWS/tcap rows); scatter-add the sorted-order
+    # rows straight into gaussian slots keyed by src_idx % n. Replaces the
+    # return sort AND the emission_reduce.
+    n_g = ROWS // 4
+    gid = src_idx % n_g
+
+    def d_segment_scatter(r16):
+        cols = tuple(
+            jnp.zeros((n_g,), jnp.float32).at[gid].add(
+                r16[:, j], mode="drop"
+            )
+            for j in range(11)
+        )
+        return cols[0][0]
+
+    timeit("emission-return scatter-inv+gather", c_scatter_inv, rows16)
+    timeit("emission-return scatter-add to gid", d_segment_scatter, rows16)
 
 
 if __name__ == "__main__":
