@@ -53,10 +53,16 @@ print(f"scene: {len(scene.train_views)} train views, "
 
 cfg = eogsplus(d, iterations=ITERS)
 cfg.logging.tb_log_interval = 100
-rcfg = RasterizeConfig(tile_capacity=1024, tile_chunk=128,
-                       max_tiles_per_gaussian=4, binning_mode="fused",
+# Start AT the converged capacities for the 1M scene (measured: the
+# auto-rebucketer grows 4->8->16->32 in the first 150 iters as the early
+# huge-footprint phase peaks) and freeze them: every grow is a fresh
+# ~8-min remote compile of a 30M-row sort program, which dominates wall
+# clock through the tunnel. Frozen caps = zero mid-run recompiles.
+rcfg = RasterizeConfig(tile_capacity=4096, tile_chunk=128,
+                       max_tiles_per_gaussian=32, binning_mode="fused",
                        early_exit=False)
-tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg).setup()
+tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg,
+             auto_rebucket=False).setup()
 mc = MaeComputer.from_synthetic(d, scale=SCALE, resolution=RES)
 
 maes = []
@@ -74,7 +80,7 @@ def hook(trainer, state, iteration):
 
 
 tr.eval_hook = hook
-cfg.logging.testing_interval = max(250, ITERS // 6)
+cfg.logging.testing_interval = max(100, ITERS // 6)
 
 t0 = time.time()
 tr.train(progress=False)
