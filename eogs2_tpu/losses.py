@@ -36,14 +36,16 @@ def l1_loss(pred, gt, mask=None):
 
 
 def photometric_loss(pred, gt, lambda_dssim: float = 0.2, mask=None):
-    """(1-l)*L1 + l*(1-SSIM). With a mask, SSIM runs on masked-out-zeroed
-    images (padding is zero on both sides, contributing SSIM=1 there; the
-    L1 term is exactly masked)."""
+    """(1-l)*L1 + l*(1-SSIM). With a mask, both inputs are zeroed outside
+    it and BOTH terms average over valid pixels only (the SSIM map is
+    masked-averaged, so canvas padding neither dilutes nor shifts the
+    loss — a padded duplicate of a scene produces the identical value)."""
     ll1 = l1_loss(pred, gt, mask)
     if mask is not None:
         pred = pred * mask
         gt = gt * mask
-    return (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(pred, gt)), ll1
+    s = ssim(pred, gt, mask=mask)
+    return (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - s), ll1
 
 
 def opacity_loss(opacity, alive, init_count):

@@ -62,22 +62,64 @@ def perceptual_distance(a, b):
 
 
 _VGG_SLICES = ((0, 4), (4, 9), (9, 16), (16, 23), (23, 30))  # relu1_2..relu5_3
+# channel widths of the five LPIPS-vgg blocks (linear-head vector lengths)
+_VGG_WIDTHS = (64, 128, 256, 512, 512)
 
 
-def lpips_torch(a, b, net=None):
+def load_lpips_weights(path: str):
+    """Load the LPIPS v0.1 learned linear-head weights.
+
+    Accepts either (a) an .npz with arrays ``lin0``..``lin4`` of lengths
+    (64, 128, 256, 512, 512), or (b) the official richzhang/PerceptualSimilarity
+    ``vgg.pth`` torch checkpoint (keys ``lin{i}.model.1.weight`` of shape
+    [1, C, 1, 1]). Returns a list of five 1-D float32 numpy arrays.
+
+    The weights themselves cannot ship with this offline image (zero
+    egress; the reference's lpipsPyTorch also downloads them at runtime) —
+    point ``EOGS2_LPIPS_WEIGHTS`` at either file to get metric-exact LPIPS
+    (lpipsPyTorch/modules/lpips.py parity).
+    """
+    if path.endswith(".npz"):
+        z = np.load(path)
+        lins = [np.asarray(z[f"lin{i}"], np.float32).reshape(-1)
+                for i in range(5)]
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        lins = [
+            np.asarray(
+                sd[f"lin{i}.model.1.weight"], np.float32
+            ).reshape(-1)
+            for i in range(5)
+        ]
+    for lin, width in zip(lins, _VGG_WIDTHS):
+        if lin.shape != (width,):
+            raise ValueError(
+                f"linear head shape {lin.shape} != ({width},)"
+            )
+    return lins
+
+
+def lpips_torch(a, b, net=None, lin_weights=None):
     """LPIPS-vgg perceptual distance via torchvision VGG16 features.
 
-    Matches the reference's lpipsPyTorch structure (lpipsPyTorch/modules/
-    lpips.py): unit-normalized activations of the 5 VGG16 conv blocks,
-    squared-difference maps spatially averaged and summed. The reference's
-    learned linear calibration weights are not shipped with torchvision, so
-    block outputs are averaged with unit weights (uncalibrated LPIPS).
+    Matches the reference's lpipsPyTorch math (lpipsPyTorch/modules/
+    lpips.py): ImageNet-normalize, run the 5 VGG16 conv blocks,
+    unit-normalize activations along channels, square the difference,
+    apply the per-channel learned linear head (a 1x1 conv), spatially
+    average, and SUM over blocks.
 
-    `net` (a torchvision `vgg16(...).features` module) may be injected —
-    tests exercise the pipeline with seeded random weights. When omitted,
-    requires torchvision + locally cached VGG16_Weights.IMAGENET1K_V1
-    (this offline image has neither — callers fall back to
-    perceptual_distance; see compute_metrics).
+    `lin_weights` (five 1-D arrays, see load_lpips_weights) selects the
+    CALIBRATED path — bit-matching the reference given the same VGG
+    backbone. When None, block outputs are averaged with unit weights
+    (uncalibrated; the learned heads are not shipped with torchvision).
+
+    `net` (a torchvision `vgg16(...).features`-style module) may be
+    injected — tests exercise the pipeline with seeded random weights.
+    When omitted, requires torchvision + locally cached
+    VGG16_Weights.IMAGENET1K_V1 (this offline image has neither — callers
+    fall back to perceptual_distance; see compute_metrics).
     Raises ImportError / RuntimeError when unavailable.
     """
     import torch  # noqa: F401 (torchvision requires torch)
@@ -100,10 +142,21 @@ def lpips_torch(a, b, net=None):
         return out
 
     with torch.no_grad():
-        total = sum(
-            float(((fa - fb) ** 2).sum(1).mean())
-            for fa, fb in zip(feats(a), feats(b))
-        )
+        diffs = [
+            (fa - fb) ** 2 for fa, fb in zip(feats(a), feats(b))
+        ]
+        if lin_weights is not None:
+            # calibrated: per-channel weighted sum (the learned 1x1 conv),
+            # spatial mean, sum over blocks — exactly the reference chain
+            total = sum(
+                float(
+                    (torch.as_tensor(np.asarray(w, np.float32))
+                     .view(1, -1, 1, 1) * d).sum(1).mean()
+                )
+                for w, d in zip(lin_weights, diffs)
+            )
+            return total
+        total = sum(float(d.sum(1).mean()) for d in diffs)
     return total / len(_VGG_SLICES)
 
 
@@ -116,6 +169,15 @@ def compute_metrics(render_dir: str, gt_dir: str):
     gts = _load_dir(gt_dir)
     rows = []
     use_lpips = True
+    # calibrated LPIPS when the official weights are pointed at via env
+    # (EOGS2_LPIPS_WEIGHTS=<vgg.pth or .npz>, see load_lpips_weights)
+    lins = None
+    wpath = os.environ.get("EOGS2_LPIPS_WEIGHTS", "")
+    if wpath and os.path.exists(wpath):
+        try:
+            lins = load_lpips_weights(wpath)
+        except Exception:
+            lins = None
     for name, r in renders.items():
         if name not in gts:
             continue
@@ -127,7 +189,7 @@ def compute_metrics(render_dir: str, gt_dir: str):
         perceptual = None
         if use_lpips and c >= 3:
             try:
-                perceptual = lpips_torch(r2, g2)
+                perceptual = lpips_torch(r2, g2, lin_weights=lins)
             except Exception:
                 use_lpips = False  # torchvision/weights absent: proxy for all
         if perceptual is None:

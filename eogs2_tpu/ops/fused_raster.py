@@ -55,6 +55,7 @@ from eogs2_tpu.ops.binning import grid_dims
 from eogs2_tpu.ops.blend import ALPHA_EPS, ALPHA_MAX, T_EPS
 from eogs2_tpu.ops.pair_pipeline import (
     _emission_keys,
+    _tier_keys,
     emission_broadcast,
     emission_reduce,
 )
@@ -69,8 +70,9 @@ NFF = 128
 NF = 16
 LANE = 128  # lane-block granularity of col windows
 HI = jax.lax.Precision.HIGHEST
-# emission-sort strategy (see _sort_and_range): 4-operand sort + payload
-# gathers (default) vs 14-operand payload-carrying sort. A/B via env.
+# emission-sort strategy (see _sort_and_range): the 14-operand payload-
+# carrying sort is the default; EOGS2_SORT_GATHER=1 opts into the 4-operand
+# sort + payload gathers (chip A/B recorded in ROUND4 notes).
 _SORT_GATHER = os.environ.get("EOGS2_SORT_GATHER", "0") != "0"
 
 
@@ -814,30 +816,102 @@ class FusedOut(NamedTuple):
     tile_count: jnp.ndarray  # [T]
     num_pairs: jnp.ndarray  # []
     max_tile_count: jnp.ndarray  # []
+    # [] pairs dropped by emission clipping (tcap on the bulk tier,
+    # big_tcap on the big tier) — the fused-path analog of the CUDA dynamic
+    # pair buffer never being too small (rasterizer_impl.cu:280-288)
+    clipped_pairs: jnp.ndarray = None
+    # [] widest NON-big gaussian (what the bulk tcap must cover); equals
+    # the overall max when big_k == 0
+    bulk_max_tiles: jnp.ndarray = None
+    # [] widest gaussian overall (what big_tcap must cover)
+    big_max_tiles: jnp.ndarray = None
+
+
+def _emission_tabs(prep, width, height, tcap, big_k, big_tcap):
+    """Two-tier emission tables.
+
+    The dense single-tier [tcap, N] emission sizes EVERY gaussian's row
+    count by the single widest splat: measured at reference-scale training,
+    a handful of outlier splats grow tcap 4->32, i.e. 32M sort rows for
+    ~2-3M real pairs (ROUND3_NOTES "train_scale"). The CUDA reference
+    instead sizes its pair buffer by the true Sum(tiles_touched)
+    (rasterizer_impl.cu:280-288). The TPU equivalent, keeping static
+    shapes: a bulk [tcap, N] tier for everyone EXCEPT the top-big_k widest
+    splats (selected by lax.top_k on tiles_touched), plus a compact
+    [big_tcap, big_k] tier holding those outliers (their per-gaussian rows
+    gathered at big_idx). Both tiers concatenate into ONE key table feeding
+    the same sort, so sort rows are N*tcap + big_k*big_tcap instead of
+    N*max_tiles.
+
+    Returns (tile_tab, depth_tab, big_idx_f32, n_tiles, clipped, bulk_max,
+    big_max): clipped counts emission rows dropped by either tier's cap,
+    bulk_max is the widest non-big splat (must stay <= tcap for zero bulk
+    clipping), big_max the widest overall (vs big_tcap).
+    """
+    grid_x, grid_y = grid_dims(width, height)
+    n_tiles = grid_x * grid_y
+    n = prep.depth.shape[0]
+    tiles = prep.tiles_touched
+    if not big_k:
+        tile_tab, depth_tab = _tier_keys(
+            prep.rect_min, prep.rect_size, prep.depth, tiles, tcap,
+            grid_x, n_tiles,
+        )
+        mx = jnp.max(tiles)
+        clipped = jnp.sum(jnp.maximum(tiles - tcap, 0))
+        return (tile_tab, depth_tab, jnp.zeros((0,), jnp.float32), n_tiles,
+                clipped, mx, mx)
+    big_tiles, big_i = jax.lax.top_k(tiles, big_k)
+    is_big = jnp.zeros((n,), jnp.bool_).at[big_i].set(True)
+    bulk_tiles = jnp.where(is_big, 0, tiles)
+    b_tile, b_depth = _tier_keys(
+        prep.rect_min, prep.rect_size, prep.depth, bulk_tiles, tcap,
+        grid_x, n_tiles,
+    )
+    g_tile, g_depth = _tier_keys(
+        prep.rect_min[big_i], prep.rect_size[big_i], prep.depth[big_i],
+        big_tiles, big_tcap, grid_x, n_tiles,
+    )
+    tile_tab = jnp.concatenate([b_tile, g_tile])
+    depth_tab = jnp.concatenate([b_depth, g_depth])
+    clipped = (jnp.sum(jnp.maximum(bulk_tiles - tcap, 0))
+               + jnp.sum(jnp.maximum(big_tiles - big_tcap, 0)))
+    return (tile_tab, depth_tab, big_i.astype(jnp.float32), n_tiles,
+            clipped, jnp.max(bulk_tiles), jnp.max(tiles))
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
 )
-def _fused_sorted_blend(pay_cols, tile_tab, depth_tab, shape_info, tcap,
-                        k_chunk, interpret, early_exit=True, col=False):
-    out, _ = _fused_fwd(pay_cols, tile_tab, depth_tab, shape_info, tcap,
-                        k_chunk, interpret, early_exit, col)
+def _fused_sorted_blend(pay_cols, tile_tab, depth_tab, big_idx, shape_info,
+                        tiers, k_chunk, interpret, early_exit=True,
+                        col=False):
+    out, _ = _fused_fwd(pay_cols, tile_tab, depth_tab, big_idx, shape_info,
+                        tiers, k_chunk, interpret, early_exit, col)
     return out
 
 
-def _sort_and_range(pay_cols, tile_tab, depth_tab, n_tiles, tcap):
-    """Column-oriented emission sort.
+def _sort_and_range(pay_cols, tile_tab, depth_tab, n_tiles, tiers,
+                    big_idx=None):
+    """Column-oriented emission sort, optionally two-tier.
 
     pay_cols is a tuple of [N] 1-D payload columns. Everything stays 1-D
     through the sort: [N,k] (k<128) arrays on TPU pad their minor dim to the
     128-lane tile in HBM, so the old row-form pipeline (concat [N,11] ->
     broadcast [P,11] -> sort -> stack [P,11]) moved ~8x the bytes of the
-    payload it carried."""
+    payload it carried.
+
+    tiers = (tcap, big_k, big_tcap) (an int means single-tier): rows are
+    the bulk [tcap, N] emission followed by the [big_tcap, big_k] big-splat
+    tier whose gaussian rows are gathered at big_idx (_emission_tabs)."""
     p = tile_tab.shape[0]
     n = pay_cols[0].shape[0]
-    assert p == n * tcap, (p, n, tcap)  # dense [tcap, N] emission layout
-    tcap_b = p // n
+    if isinstance(tiers, int):
+        tiers = (tiers, 0, 0)
+    tcap, big_k, big_tcap = tiers
+    assert p == n * tcap + big_k * big_tcap, (p, n, tiers)
+    if big_idx is not None and big_idx.dtype != jnp.int32:
+        big_idx = big_idx.astype(jnp.int32)
     iota = jnp.arange(p, dtype=jnp.int32)
     if _SORT_GATHER:
         # 4-operand sort (keys + iota + gaussian id) + 11 payload gathers at
@@ -845,8 +919,16 @@ def _sort_and_range(pay_cols, tile_tab, depth_tab, n_tiles, tcap):
         # the 11 carried columns for 11 linear-write gathers (and skipping
         # the 11-column emission broadcast entirely) wins at scale. The sort
         # is stable, so ties keep emission order and the gathered columns
-        # are bit-identical to the carried ones.
-        gid = emission_broadcast(jnp.arange(n, dtype=jnp.int32), tcap_b)
+        # are bit-identical to the carried ones. gid is NOT redundant with
+        # iota: decoding gid from the emission position would need an
+        # integer mod (the VPU has no integer divider, and p exceeds 2^24
+        # at scale so the exact-f32 division trick does not apply), and the
+        # big tier's rows decode through big_idx anyway.
+        gid = emission_broadcast(jnp.arange(n, dtype=jnp.int32), tcap)
+        if big_k:
+            gid = jnp.concatenate(
+                [gid, emission_broadcast(big_idx, big_tcap)]
+            )
         sorted_ops = jax.lax.sort((tile_tab, depth_tab, iota, gid),
                                   num_keys=2)
         sort_tile = sorted_ops[0]
@@ -854,7 +936,15 @@ def _sort_and_range(pay_cols, tile_tab, depth_tab, n_tiles, tcap):
         sgid = sorted_ops[3]
         sorted_cols = tuple(jnp.take(c, sgid) for c in pay_cols)
     else:
-        em_cols = tuple(emission_broadcast(c, tcap_b) for c in pay_cols)
+        def em(c):
+            x = emission_broadcast(c, tcap)
+            if big_k:
+                x = jnp.concatenate(
+                    [x, emission_broadcast(jnp.take(c, big_idx), big_tcap)]
+                )
+            return x
+
+        em_cols = tuple(em(c) for c in pay_cols)
         ops = (tile_tab, depth_tab, iota) + em_cols
         sorted_ops = jax.lax.sort(ops, num_keys=2)
         sort_tile = sorted_ops[0]
@@ -876,13 +966,13 @@ def _pack_col(sorted_cols, p, k_cap):
     return x.at[:f, :p].set(jnp.stack(sorted_cols, axis=0))
 
 
-def _fused_fwd(pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk,
-               interpret, early_exit=True, col=False):
+def _fused_fwd(pay_cols, tile_tab, depth_tab, big_idx, shape_info, tiers,
+               k_chunk, interpret, early_exit=True, col=False):
     n_tiles, k_cap, grid_x = shape_info
     n = pay_cols[0].shape[0]
     f = len(pay_cols)
     sorted_cols, sort_tile, src_idx, tstart, cnt = _sort_and_range(
-        pay_cols, tile_tab, depth_tab, n_tiles, tcap
+        pay_cols, tile_tab, depth_tab, n_tiles, tiers, big_idx
     )
     p = tile_tab.shape[0]
     # the ONE materialization: the kernels' DMA source. col: 64 B/pair;
@@ -902,14 +992,17 @@ def _fused_fwd(pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk,
         num_pairs=jnp.sum(jnp.where(tile_tab < n_tiles, 1, 0)),
         max_tile_count=jnp.max(cnt),
     )
-    res = (pay_pad, out8, sort_tile, src_idx, tstart, cnt, n, f)
+    res = (pay_pad, out8, sort_tile, src_idx, tstart, cnt, big_idx, n, f)
     return out, res
 
 
-def _fused_bwd(shape_info, tcap, k_chunk, interpret, early_exit, col, res,
+def _fused_bwd(shape_info, tiers, k_chunk, interpret, early_exit, col, res,
                cots):
     n_tiles, k_cap, grid_x = shape_info
-    pay_pad, out8, sort_tile, src_idx, tstart, cnt, n, f = res
+    pay_pad, out8, sort_tile, src_idx, tstart, cnt, big_idx, n, f = res
+    if isinstance(tiers, int):
+        tiers = (tiers, 0, 0)
+    tcap, big_k, big_tcap = tiers
     g_out8 = cots.out8
     gpay_pad = _fused_bwd_call(
         pay_pad, g_out8, out8, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
@@ -921,7 +1014,6 @@ def _fused_bwd(shape_info, tcap, k_chunk, interpret, early_exit, col, res,
     # emission position (measured 3.9 ms vs 5.3 ms for the inverse-
     # permutation 2-int-col sort + row gather it replaces, 400k rows).
     p = sort_tile.shape[0]
-    tcap_b = p // n
     pos = jnp.arange(p, dtype=jnp.int32)
     tile = sort_tile.astype(jnp.int32)
     in_range = tile < n_tiles
@@ -941,11 +1033,27 @@ def _fused_bwd(shape_info, tcap, k_chunk, interpret, early_exit, col, res,
             jnp.where(ok, gpay_pad[:p, j], 0.0) for j in range(f)
         )
     sorted_out = jax.lax.sort((src_idx,) + gcols, num_keys=1)
-    g_cols = tuple(
-        emission_reduce(c, n, tcap_b) for c in sorted_out[1:]
-    )
+    if big_k:
+        # two-segment emission reduce: fold the bulk tier per gaussian,
+        # fold the big tier per top-K row, then ONE K-row scatter-add back
+        # into the per-gaussian gradient (top_k indices are distinct; K is
+        # a few thousand, so the scatter is negligible next to the sort)
+        bi = big_idx.astype(jnp.int32)
+        n_bulk = n * tcap
+
+        def _reduce2(c):
+            g_bulk = emission_reduce(c[:n_bulk], n, tcap)
+            g_big = c[n_bulk:].reshape(big_tcap, big_k).sum(axis=0)
+            return g_bulk.at[bi].add(g_big)
+
+        g_cols = tuple(_reduce2(c) for c in sorted_out[1:])
+    else:
+        g_cols = tuple(
+            emission_reduce(c, n, tcap) for c in sorted_out[1:]
+        )
     zeros_keys = jnp.zeros((p,), jnp.float32)
-    return (g_cols, zeros_keys, zeros_keys)
+    return (g_cols, zeros_keys, zeros_keys,
+            jnp.zeros_like(big_idx))
 
 
 _fused_sorted_blend.defvjp(
@@ -964,11 +1072,20 @@ def rasterize_fused(
     interpret: bool = False,
     early_exit: bool = True,
     col: bool = False,
+    big_k: int = 0,
+    big_tcap: int = 64,
 ):
-    """Differentiable fused path. Returns FusedOut (out8 pre-background)."""
+    """Differentiable fused path. Returns FusedOut (out8 pre-background).
+
+    big_k > 0 enables the two-tier emission (_emission_tabs): the bulk
+    [tcap, N] table plus a [big_tcap, big_k] top-K big-splat table, so the
+    sort is sized by typical splats while outliers get big_tcap rows."""
     grid_x, grid_y = grid_dims(width, height)
-    tile_tab, depth_tab, n_tiles = _emission_keys(
-        jax.tree.map(jax.lax.stop_gradient, prep), width, height, tcap
+    big_k = min(big_k, prep.depth.shape[0])
+    (tile_tab, depth_tab, big_idx, n_tiles, clipped, bulk_max,
+     big_max) = _emission_tabs(
+        jax.tree.map(jax.lax.stop_gradient, prep), width, height, tcap,
+        big_k, big_tcap,
     )
     pay_cols = (
         prep.mean2d[:, 0], prep.mean2d[:, 1],
@@ -977,8 +1094,18 @@ def rasterize_fused(
     ) + tuple(features[:, j] for j in range(features.shape[1]))
     shape_info = (n_tiles, tile_capacity, grid_x)
     out = _fused_sorted_blend(
-        pay_cols, tile_tab, depth_tab, shape_info, tcap, k_chunk, interpret,
-        early_exit, col,
+        pay_cols, tile_tab, depth_tab, big_idx, shape_info,
+        (tcap, big_k, big_tcap), k_chunk, interpret, early_exit, col,
     )
     num_pairs = jnp.sum(prep.tiles_touched)
-    return out._replace(num_pairs=num_pairs)
+    # tile_capacity clips pairs beyond k_cap in a tile (kernel windows walk
+    # min(cnt, k_cap)); count them into the same loud-overflow metric
+    tile_clipped = jnp.sum(
+        jnp.maximum(out.tile_count - tile_capacity, 0)
+    )
+    return out._replace(
+        num_pairs=num_pairs,
+        clipped_pairs=clipped + tile_clipped,
+        bulk_max_tiles=bulk_max,
+        big_max_tiles=big_max,
+    )

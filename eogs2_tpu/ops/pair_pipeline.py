@@ -47,8 +47,8 @@ class PairDense(NamedTuple):
     max_tile_count: jnp.ndarray  # []
 
 
-def _emission_keys(prep: Preprocessed, width, height, tcap):
-    """(tile, depth) sort keys for the dense [tcap, N] emission table.
+def _tier_keys(rect_min, rect_size, depth, tiles, tcap, grid_x, n_tiles):
+    """(tile, depth) sort keys for ONE [tcap, M] emission tier (tcap-major).
 
     Emission order is tcap-MAJOR (copy j of every gaussian, then copy j+1):
     the [tcap, N] layout pads only the sublane dim (tcap -> 8), while the
@@ -57,12 +57,10 @@ def _emission_keys(prep: Preprocessed, width, height, tcap):
     Order only affects sort tie-breaking of identical (tile, f32 depth)
     keys, which lax.sort resolves arbitrarily anyway.
     """
-    grid_x, grid_y = grid_dims(width, height)
-    n_tiles = grid_x * grid_y
-    n = prep.depth.shape[0]
-    tiles = jnp.minimum(prep.tiles_touched, tcap)
+    n = depth.shape[0]
+    tiles = jnp.minimum(tiles, tcap)
     t = jnp.arange(tcap, dtype=jnp.int32)[:, None]  # [tcap, 1]
-    rw = jnp.maximum(prep.rect_size[:, 0], 1)[None, :]  # [1, N]
+    rw = jnp.maximum(rect_size[:, 0], 1)[None, :]  # [1, N]
     # floor(t / rw) via f32 division: the VPU has no integer divider (XLA
     # expands integer div into a long bit-serial sequence — measured ~3 ms
     # at [4, 100k]); f32 division of exact small ints (< 2^24) is correctly
@@ -72,13 +70,24 @@ def _emission_keys(prep: Preprocessed, width, height, tcap):
         t.astype(jnp.float32) / rw.astype(jnp.float32)
     ).astype(jnp.int32)
     tx = t - ty * rw
-    tile_id = (prep.rect_min[:, 1][None, :] + ty) * grid_x + (
-        prep.rect_min[:, 0][None, :] + tx
+    tile_id = (rect_min[:, 1][None, :] + ty) * grid_x + (
+        rect_min[:, 0][None, :] + tx
     )
     valid = t < tiles[None, :]
     # float32 keys: tile ids are far below 2^24, exact in f32
     tile_tab = jnp.where(valid, tile_id, n_tiles).reshape(-1).astype(jnp.float32)
-    depth_tab = jnp.broadcast_to(prep.depth[None, :], (tcap, n)).reshape(-1)
+    depth_tab = jnp.broadcast_to(depth[None, :], (tcap, n)).reshape(-1)
+    return tile_tab, depth_tab
+
+
+def _emission_keys(prep: Preprocessed, width, height, tcap):
+    """Single-tier emission keys (see _tier_keys) for the [tcap, N] table."""
+    grid_x, grid_y = grid_dims(width, height)
+    n_tiles = grid_x * grid_y
+    tile_tab, depth_tab = _tier_keys(
+        prep.rect_min, prep.rect_size, prep.depth, prep.tiles_touched,
+        tcap, grid_x, n_tiles,
+    )
     return tile_tab, depth_tab, n_tiles
 
 

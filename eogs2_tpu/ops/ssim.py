@@ -37,8 +37,17 @@ def _depthwise_same(img, window):
 
 
 @partial(jax.jit, static_argnames=("window_size",))
-def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
-    """Mean SSIM over [C,H,W] images (values expected in [0,1])."""
+def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5, mask=None):
+    """Mean SSIM over [C,H,W] images (values expected in [0,1]).
+
+    mask (broadcastable to [C,H,W]): average the SSIM map over valid
+    pixels only. Padded canvases contribute SSIM=1 on the all-zero pad
+    (both inputs zero there), which DILUTES the unmasked mean by the pad
+    fraction (up to ~6% at 512^2 + 15 px pad); the masked mean makes a
+    padded duplicate of a scene produce the identical loss. The SSIM map
+    itself is unchanged — inside the valid region it is identical whether
+    the zeros come from the conv's own zero 'SAME' padding (unpadded
+    input) or from explicit canvas padding."""
     window = _gaussian_window(window_size, sigma).astype(img1.dtype)
     mu1 = _depthwise_same(img1, window)
     mu2 = _depthwise_same(img2, window)
@@ -50,7 +59,10 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
-    return jnp.mean(ssim_map)
+    if mask is None:
+        return jnp.mean(ssim_map)
+    m = jnp.broadcast_to(mask, ssim_map.shape).astype(ssim_map.dtype)
+    return jnp.sum(ssim_map * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 def psnr(img1, img2):

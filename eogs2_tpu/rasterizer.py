@@ -70,8 +70,19 @@ class RasterizeConfig:
     payload_col: bool = True
     # fused kernels: K-chunk width override (0 = auto via _pick_k_chunk)
     k_chunk: int = 0
+    # fused kernels: two-tier emission. big_k > 0 moves the top-big_k
+    # widest splats into their own [big_tcap, big_k] emission tier, so the
+    # bulk [max_tiles_per_gaussian, N] table is sized by TYPICAL splats
+    # instead of the single widest outlier (the single-tier design grew
+    # tcap 4->32 within 150 training iters from a handful of outliers —
+    # 8x oversized sorts + one ~8-min recompile per grow). Sort rows become
+    # N*tcap + big_k*big_tcap; the CUDA analog sizes its pair buffer by the
+    # true demand (rasterizer_impl.cu:280-288).
+    big_k: int = 0
+    big_tcap: int = 64
 
-    def bucketed(self, max_tile: int, max_tiles_per_gaussian: int) -> "RasterizeConfig":
+    def bucketed(self, max_tile: int, max_tiles_per_gaussian: int,
+                 big_max_tiles: int = 0) -> "RasterizeConfig":
         """Next power-of-two bucket that fits the observed sizes."""
 
         def up(x, lo):
@@ -84,6 +95,8 @@ class RasterizeConfig:
             self,
             tile_capacity=up(int(max_tile) + 1, 128),
             max_tiles_per_gaussian=up(int(max_tiles_per_gaussian), 4),
+            big_tcap=(up(int(big_max_tiles), 16)
+                      if (self.big_k and big_max_tiles) else self.big_tcap),
         )
 
 
@@ -118,11 +131,25 @@ class RasterOut(NamedTuple):
     mean2d_ndc: jnp.ndarray  # [N,2] projected centers in NDC (for densify stats)
     num_pairs: jnp.ndarray  # [] emitted pair count (overflow detection)
     max_tile_count: jnp.ndarray  # [] densest tile
-    max_tiles_per_gaussian_seen: jnp.ndarray = None  # [] widest tile rect
+    # [] widest tile rect that the BULK emission tier must cover: the
+    # overall max when big_k == 0, the widest non-big splat when the
+    # two-tier emission is on (grow max_tiles_per_gaussian past it)
+    max_tiles_per_gaussian_seen: jnp.ndarray = None
     # [] pairs dropped by the a2a per-destination exchange window (their
     # gradients are exactly zero); always 0 on the single-chip paths, whose
     # only capacity clip is tile_capacity (watched via max_tile_count)
     dropped_pairs: jnp.ndarray = None
+    # [] pairs clipped by emission capacities (bulk tcap / big_tcap) or
+    # tile_capacity on the fused path — nonzero means gradients were
+    # silently zeroed for those pairs; the Trainer surfaces it as a metric
+    # and warns when capacities are frozen (auto_rebucket=False)
+    clipped_pairs: jnp.ndarray = None
+    # [] widest splat overall (vs config.big_tcap when big_k > 0)
+    big_max_tiles_seen: jnp.ndarray = None
+    # [] a2a backend only: largest per-destination exchange window this
+    # render (vs config.dest_cap — the capacity that can overflow); None on
+    # single-chip paths
+    max_dest_count: jnp.ndarray = None
 
 
 @partial(jax.jit, static_argnames=("width", "height", "config"))
@@ -194,13 +221,20 @@ def rasterize(
             interpret=jax.default_backend() == "cpu",
             early_exit=config.early_exit,
             col=config.payload_col,
+            big_k=config.big_k,
+            big_tcap=config.big_tcap,
         )
         out = fo.out8[:, :, :5] + fo.out8[:, :, 5:6] * bg[None, None, :]
         final_t = fo.out8[:, :, 5]
         num_pairs = fo.num_pairs
         max_tile_count = fo.max_tile_count
-        return _assemble(prep, out, final_t, num_pairs, max_tile_count,
-                         features.shape[-1], width, height, grid_x, grid_y)
+        ro = _assemble(prep, out, final_t, num_pairs, max_tile_count,
+                       features.shape[-1], width, height, grid_x, grid_y)
+        return ro._replace(
+            max_tiles_per_gaussian_seen=fo.bulk_max_tiles,
+            clipped_pairs=fo.clipped_pairs,
+            big_max_tiles_seen=fo.big_max_tiles,
+        )
 
     if config.binning_mode == "sorted":
         from eogs2_tpu.ops.pair_pipeline import densify_pairs

@@ -416,12 +416,32 @@ def make_train_step(
                 "sat_frac": L.masked_mean(
                     (out.final_t < 1e-2).astype(jnp.float32), valid[0]
                 ),
-                # a2a: num_pairs is the largest per-destination exchange
-                # window (vs raster_cfg.dest_cap) and dropped_pairs counts
-                # clipped sends; both 0-risk on the single-chip backends
+                # a2a: max_dest_count is the largest per-destination
+                # exchange window (vs raster_cfg.dest_cap) and
+                # dropped_pairs counts clipped sends; both 0-risk on the
+                # single-chip backends
+                "max_dest_count": (
+                    out.max_dest_count
+                    if out.max_dest_count is not None
+                    else jnp.int32(0)
+                ),
                 "dropped_pairs": (
                     out.dropped_pairs
                     if out.dropped_pairs is not None
+                    else jnp.int32(0)
+                ),
+                # pairs whose gradients were zeroed by emission/tile
+                # capacity clipping (fused path): nonzero under frozen
+                # capacities means quality numbers are suspect — the
+                # Trainer warns loudly (VERDICT r3 item 5)
+                "clipped_pairs": (
+                    out.clipped_pairs
+                    if out.clipped_pairs is not None
+                    else jnp.int32(0)
+                ),
+                "big_max_tiles": (
+                    out.big_max_tiles_seen
+                    if out.big_max_tiles_seen is not None
                     else jnp.int32(0)
                 ),
                 **{k: v for k, v in terms.items()},
@@ -642,7 +662,9 @@ class Trainer:
     steps_per_dispatch: int = 1
     # False: freeze rasterizer capacities (no grow/shrink rebucketing) —
     # for throughput benchmarking, where a mid-run recompile destroys the
-    # measurement. Production keeps True (overflow then clips silently!).
+    # measurement. Overflow under frozen caps clips pairs (zero gradients)
+    # but is LOUD: the clipped_pairs metric is surfaced every interval and
+    # the loop warns on the first nonzero clip. Production keeps True.
     auto_rebucket: bool = True
     # auto-pick the fused kernels' chunk-granular early exit from the
     # observed pixel saturation (sat_frac metric): ON when most pixels'
@@ -751,6 +773,7 @@ class Trainer:
         self._steps = {}
         self._low_occupancy_checks = 0
         self._ee_flip_checks = 0
+        self._clip_warned = False
         if self.early_exit_auto and self.raster_cfg.early_exit:
             # fresh scenes are translucent (opacity init ~0.05-0.2): start
             # with the exit off; the sat_frac auto-pick turns it on once
@@ -997,6 +1020,29 @@ class Trainer:
             iteration = i0 + span - 1
             interval_metrics.append(metrics)
 
+            # loud capacity-overflow watch (VERDICT r3 item 5): clipped
+            # pairs carry exactly-zero gradients, so a silent clip under
+            # frozen capacities corrupts quality numbers invisibly. Checked
+            # every 50 iterations whether or not rebucketing is on.
+            if iteration % 50 == 0:
+                nclip = float(
+                    np.max(np.asarray(metrics.get("clipped_pairs", 0)))
+                )
+                if nclip > 0 and not self.auto_rebucket \
+                        and not self._clip_warned:
+                    rc = self.raster_cfg
+                    print(
+                        f"[{iteration}] WARNING: rasterizer clipped "
+                        f"{int(nclip)} pairs this step with capacities "
+                        f"FROZEN (auto_rebucket=False; tcap="
+                        f"{rc.max_tiles_per_gaussian}, big_k={rc.big_k}, "
+                        f"big_tcap={rc.big_tcap}, K={rc.tile_capacity}): "
+                        f"their gradients are zero — grow capacities or "
+                        f"enable auto_rebucket, quality numbers are "
+                        f"suspect until clipped_pairs returns to 0"
+                    )
+                    self._clip_warned = True
+
             # capacity auto-rebucketing (the host-side analog of the CUDA
             # rasterizer's dynamic buffer resizing): when the densest tile or
             # widest tile rect approaches its static capacity, grow to the
@@ -1020,13 +1066,26 @@ class Trainer:
                             rc.max_tiles_per_gaussian, lo=4
                         ),
                     )
+                if rc.big_k:
+                    # two-tier emission: the big tier has its own capacity
+                    # (big_tcap vs the widest splat overall); the bulk
+                    # check above already uses the widest NON-big splat
+                    # (max_tiles_per_gaussian_seen excludes the top-K)
+                    bmx = float(
+                        np.max(np.asarray(metrics.get("big_max_tiles", 0.0)))
+                    )
+                    if bmx > rc.big_tcap:
+                        grew = dataclasses.replace(
+                            grew or rc,
+                            big_tcap=_next_bucket(rc.big_tcap, lo=16),
+                        )
                 if self.raster_backend == "a2a":
                     # a2a per-destination exchange windows clip silently
                     # (zero gradients for dropped pairs) — grow dest_cap
                     # when the largest window nears it or pairs were
                     # actually dropped (the analog of the CUDA dynamic
                     # binning-buffer resize, rasterizer_impl.cu:284-288)
-                    mdc = float(np.max(np.asarray(metrics["num_pairs"])))
+                    mdc = float(np.max(np.asarray(metrics["max_dest_count"])))
                     ndrop = float(
                         np.max(np.asarray(metrics["dropped_pairs"]))
                     )
@@ -1048,11 +1107,13 @@ class Trainer:
                         f"K {rc.tile_capacity}->{grew.tile_capacity}, "
                         f"tiles/gauss {rc.max_tiles_per_gaussian}->"
                         f"{grew.max_tiles_per_gaussian}, "
+                        f"big_tcap {rc.big_tcap}->{grew.big_tcap}, "
                         f"dest_cap {rc.dest_cap}->{grew.dest_cap}"
                     )
                     self.raster_cfg = grew
                     self._steps = {}
                     self._low_occupancy_checks = 0
+                    self._clip_warned = False
                 else:
                     # shrink with hysteresis: splats widen transiently (the
                     # rect cap doubled 16->64 within 100 iters in measured

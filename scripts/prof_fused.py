@@ -193,9 +193,25 @@ def f_blendonly(z, pay_cols0, tile_tab0, depth_tab0):
     difference vs FULL fwd is the in-graph preprocess+keys contribution."""
     out = FR._fused_sorted_blend(
         tuple(c + z for c in pay_cols0), tile_tab0, depth_tab0,
+        jnp.zeros((0,), jnp.float32),
         (n_tiles, KCAP, grid_x), TCAP, KCHUNK, INTERP, EARLY_EXIT, COL,
     )
     return jnp.sum(out.out8[:, :, :6])
+
+
+def f_blend_fwdbwd(z, pay_cols0, tile_tab0, depth_tab0):
+    """value_and_grad of the blend-only graph (sort + pack + kernels +
+    return sort + reduce, no preprocess/keys/assemble): FULL fwd+bwd minus
+    this is the non-rasterizer VJP overhead."""
+    def loss(cols):
+        out = FR._fused_sorted_blend(
+            cols, tile_tab0, depth_tab0, jnp.zeros((0,), jnp.float32),
+            (n_tiles, KCAP, grid_x), TCAP, KCHUNK, INTERP, EARLY_EXIT, COL,
+        )
+        return jnp.sum(out.out8[:, :, :6] ** 2)
+
+    v, g = jax.value_and_grad(loss)(tuple(c + z for c in pay_cols0))
+    return v + sum(jnp.sum(x) for x in g)
 
 
 def f_fwd(z, means, scales, quats, opac, feat):
@@ -227,6 +243,8 @@ timeit("bwd kernel", f_bwdkernel, pay_pad0, out8_0, tstart0, cnt0)
 timeit("emission-return sort+reduce", f_return_sort, pay_pad0, src_idx0)
 timeit("sort+pack+fwdkernel (one graph)", f_blendonly, pay_cols0, tile_tab0,
        depth_tab0)
+timeit("blend-only fwd+bwd (one graph)", f_blend_fwdbwd, pay_cols0,
+       tile_tab0, depth_tab0)
 t_f = timeit("FULL fused fwd", f_fwd, means, scales, quats, opac, feat)
 t_fb = timeit("FULL fused fwd+bwd", f_fwdbwd, means, scales, quats, opac, feat)
 print(f"=> {W * H / t_fb / 1e6:.2f} Mrays/s fwd+bwd (in-graph)")

@@ -185,7 +185,8 @@ def emission_return():
         inv = jnp.zeros((ROWS,), jnp.int32).at[src_idx].set(
             pos, unique_indices=True, mode="drop"
         )
-        cols = tuple(jnp.take(r16[:, j], inv) for j in range(11))
+        # 16 columns, same byte volume as strategies (a)/(b) (ADVICE r3)
+        cols = tuple(jnp.take(r16[:, j], inv) for j in range(16))
         return cols[0][0]
 
     # (d) skip emission order entirely: the consumer only needs gradients
@@ -196,11 +197,12 @@ def emission_return():
     gid = src_idx % n_g
 
     def d_segment_scatter(r16):
+        # 16 columns, same byte volume as strategies (a)/(b) (ADVICE r3)
         cols = tuple(
             jnp.zeros((n_g,), jnp.float32).at[gid].add(
                 r16[:, j], mode="drop"
             )
-            for j in range(11)
+            for j in range(16)
         )
         return cols[0][0]
 

@@ -53,14 +53,16 @@ print(f"scene: {len(scene.train_views)} train views, "
 
 cfg = eogsplus(d, iterations=ITERS)
 cfg.logging.tb_log_interval = 100
-# Start AT the converged capacities for the 1M scene (measured: the
-# auto-rebucketer grows 4->8->16->32 in the first 150 iters as the early
-# huge-footprint phase peaks) and freeze them: every grow is a fresh
-# ~8-min remote compile of a 30M-row sort program, which dominates wall
-# clock through the tunnel. Frozen caps = zero mid-run recompiles.
+# Two-tier emission (round 4): the round-3 run measured the auto-rebucketer
+# growing tcap 4->8->16->32 in the first 150 iters because a HANDFUL of
+# outlier splats set the single-tier max — 32M sort rows for ~2-3M real
+# pairs plus a fresh ~8-min remote compile per grow. The big-splat tier
+# absorbs those outliers (top-4096 widest at 64 rows each), so the bulk
+# table stays at tcap=8 and capacities can be frozen WITHOUT clipping;
+# the run validates that post-hoc (clipped_pairs must stay 0).
 rcfg = RasterizeConfig(tile_capacity=4096, tile_chunk=128,
-                       max_tiles_per_gaussian=32, binning_mode="fused",
-                       early_exit=False)
+                       max_tiles_per_gaussian=8, binning_mode="fused",
+                       early_exit=False, big_k=4096, big_tcap=64)
 tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg,
              auto_rebucket=False).setup()
 mc = MaeComputer.from_synthetic(d, scale=SCALE, resolution=RES)
@@ -87,6 +89,33 @@ tr.train(progress=False)
 wall = time.time() - t0
 hist = tr.metrics_history
 its = [m.get("it_per_s", 0.0) for m in hist]
+
+
+def _mmax(key):
+    vals = [float(np.max(np.asarray(m.get(key, 0)))) for m in hist]
+    return max(vals) if vals else 0.0
+
+
+# post-run capacity validation (ADVICE r3): the frozen caps are only valid
+# if nothing ever clipped — surface the observed maxima vs the caps so a
+# late overflow can't silently corrupt the reported MAE numbers
+observed = {
+    "max_tile": _mmax("max_tile"),
+    "max_tiles_per_gaussian_bulk": _mmax("max_tiles_per_gaussian"),
+    "big_max_tiles": _mmax("big_max_tiles"),
+    "clipped_pairs_max": _mmax("clipped_pairs"),
+}
+rc = tr.raster_cfg
+caps_ok = (observed["max_tile"] <= rc.tile_capacity
+           and observed["max_tiles_per_gaussian_bulk"]
+           <= rc.max_tiles_per_gaussian
+           and (not rc.big_k or observed["big_max_tiles"] <= rc.big_tcap)
+           and observed["clipped_pairs_max"] == 0)
+print(f"capacity validation: observed={observed} vs frozen caps "
+      f"K={rc.tile_capacity} tcap={rc.max_tiles_per_gaussian} "
+      f"big=({rc.big_k},{rc.big_tcap}) -> "
+      f"{'OK (zero clipped pairs)' if caps_ok else 'OVERFLOWED'}",
+      flush=True)
 print(json.dumps({
     "iters": ITERS, "width": WIDTH, "init_gaussians": len(scene.init_xyz),
     "capacity": int(tr.state.params.xyz.shape[0]),
@@ -94,10 +123,13 @@ print(json.dumps({
     "wall_s": round(wall, 1),
     "it_per_s_trajectory": [round(x, 3) for x in its],
     "mae_trajectory": maes,
+    "capacity_observed": observed,
+    "caps_ok": bool(caps_ok),
     "final_raster_cfg": {
-        "tile_capacity": tr.raster_cfg.tile_capacity,
-        "max_tiles_per_gaussian": tr.raster_cfg.max_tiles_per_gaussian,
-        "early_exit": tr.raster_cfg.early_exit,
+        "tile_capacity": rc.tile_capacity,
+        "max_tiles_per_gaussian": rc.max_tiles_per_gaussian,
+        "big_k": rc.big_k, "big_tcap": rc.big_tcap,
+        "early_exit": rc.early_exit,
     },
     "final_loss": hist[-1]["loss"] if hist else None,
     "final_psnr": hist[-1].get("psnr") if hist else None,

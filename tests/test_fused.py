@@ -73,3 +73,126 @@ def test_fused_dead_mask():
                      feat[:64], affine, bg, W, H, CFG_F)
     np.testing.assert_allclose(np.asarray(out.image), np.asarray(out2.image),
                                atol=5e-5, rtol=1e-4)
+
+
+def _outlier_scene(n=384, seed=11, n_big=6):
+    """Scene where a handful of splats are much wider than the rest —
+    the measured shape of real training (ROUND3_NOTES train_scale: tcap
+    grew 4->32 from a few outliers)."""
+    means, scales, quats, opac, feat, affine, bg = make_scene(n=n, seed=seed)
+    scales = np.asarray(scales).copy()
+    scales[:n_big] *= 6.0  # outlier splats touch many tiles
+    return (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(feat), jnp.asarray(affine),
+            jnp.asarray(bg))
+
+
+def test_two_tier_matches_single_tier():
+    """big_k>0 must be a pure re-bucketing: identical image and gradients
+    to a single-tier table big enough for the widest splat, with zero
+    clipped pairs when capacities fit."""
+    args = _outlier_scene()
+    wide = rasterize(*args, W, H, RasterizeConfig(
+        tile_capacity=512, max_tiles_per_gaussian=64, binning_mode="fused"))
+    mx = int(wide.max_tiles_per_gaussian_seen)
+    assert mx > 8, "outlier scene must actually have wide splats"
+    # size the bulk tier by the widest NON-big splat (what the trainer's
+    # rebucket policy does via max_tiles_per_gaussian_seen)
+    from eogs2_tpu.ops.projection import (
+        compute_cov2d_direct, preprocess_gaussians)
+    cov2d = compute_cov2d_direct(args[1], args[2], args[5], W, H)
+    prep = preprocess_gaussians(args[0], None, args[3], args[5], W, H,
+                                cov2d=cov2d)
+    tiles = np.sort(np.asarray(prep.tiles_touched))[::-1]
+    big_k = 16
+    bulk_cap = int(tiles[big_k])  # widest splat outside the top-K
+    assert bulk_cap < mx, "two-tier must actually shrink the bulk tier"
+    cfg1 = RasterizeConfig(tile_capacity=512, max_tiles_per_gaussian=64,
+                           binning_mode="fused")
+    cfg2 = RasterizeConfig(tile_capacity=512,
+                           max_tiles_per_gaussian=bulk_cap,
+                           binning_mode="fused", big_k=big_k, big_tcap=64)
+
+    def loss_with(cfg):
+        def loss(means, scales, quats, opac, feat, affine):
+            out = rasterize(means, scales, quats, opac, feat, affine,
+                            args[6], W, H, cfg)
+            return jnp.sum(out.image[:3] ** 2) + jnp.sum(out.final_t ** 2)
+        return loss
+
+    o1 = rasterize(*args, W, H, cfg1)
+    o2 = rasterize(*args, W, H, cfg2)
+    assert int(o2.clipped_pairs) == 0
+    assert int(o1.clipped_pairs) == 0
+    # bulk max excludes the top-K splats; overall max is reported separately
+    assert int(o2.max_tiles_per_gaussian_seen) <= bulk_cap
+    assert int(o2.big_max_tiles_seen) == mx
+    np.testing.assert_allclose(np.asarray(o1.image), np.asarray(o2.image),
+                               atol=5e-5, rtol=1e-4)
+    g1 = jax.grad(loss_with(cfg1), argnums=(0, 1, 2, 3, 4, 5))(*args[:6])
+    g2 = jax.grad(loss_with(cfg2), argnums=(0, 1, 2, 3, 4, 5))(*args[:6])
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)
+
+
+def test_two_tier_gather_sort_matches():
+    """The 4-operand gather-sort strategy must be bit-compatible with the
+    carried sort under the two-tier emission."""
+    from eogs2_tpu.ops import fused_raster as FR
+
+    args = _outlier_scene(seed=12)
+    cfg = RasterizeConfig(tile_capacity=512, max_tiles_per_gaussian=8,
+                          binning_mode="fused", big_k=16, big_tcap=64)
+
+    def run():
+        def loss(means, scales, quats, opac, feat, affine):
+            out = rasterize(means, scales, quats, opac, feat, affine,
+                            args[6], W, H, cfg)
+            return jnp.sum(out.image[:3] ** 2) + jnp.sum(out.final_t ** 2)
+        v, g = jax.value_and_grad(loss, argnums=(0, 3))(*args[:6])
+        img = rasterize(*args, W, H, cfg).image
+        return v, g, img
+
+    old = FR._SORT_GATHER
+    try:
+        FR._SORT_GATHER = False
+        v1, g1, img1 = run()
+        FR._SORT_GATHER = True
+        jax.clear_caches()  # same static args, different python flag
+        v2, g2, img2 = run()
+    finally:
+        FR._SORT_GATHER = old
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-6)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_two_tier_clip_accounting():
+    """Pairs beyond the frozen capacities must be COUNTED, not silent:
+    clipped_pairs = bulk-tier clip + big-tier clip (+ tile_capacity clip)."""
+    args = _outlier_scene()
+    # big_k smaller than the number of wide splats and a tiny bulk tcap:
+    # some non-big splats must clip
+    cfg = RasterizeConfig(tile_capacity=512, max_tiles_per_gaussian=2,
+                          binning_mode="fused", big_k=2, big_tcap=16)
+    out = rasterize(*args, W, H, cfg)
+    # oracle count on host
+    wide = rasterize(*args, W, H, RasterizeConfig(
+        tile_capacity=512, max_tiles_per_gaussian=64, binning_mode="fused"))
+    # recompute tiles_touched via the preprocess used by both
+    from eogs2_tpu.ops.projection import preprocess_gaussians, compute_cov2d_direct
+    cov2d = compute_cov2d_direct(args[1], args[2], args[5], W, H)
+    prep = preprocess_gaussians(args[0], None, args[3], args[5], W, H,
+                                cov2d=cov2d)
+    tiles = np.asarray(prep.tiles_touched)
+    order = np.argsort(-tiles, kind="stable")
+    big = order[:2]
+    bulk = np.setdiff1d(np.arange(len(tiles)), big)
+    expect = (np.maximum(tiles[bulk] - 2, 0).sum()
+              + np.maximum(tiles[big] - 16, 0).sum())
+    assert int(out.clipped_pairs) == int(expect)
+    assert int(out.clipped_pairs) > 0

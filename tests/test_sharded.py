@@ -217,7 +217,7 @@ def test_a2a_dest_cap_rebucket(mesh, tmp_path):
     # ...and the capacity manager grew the window past it
     assert tr.raster_cfg.dest_cap > 8, tr.raster_cfg.dest_cap
     assert tr.raster_cfg.dest_cap >= max(
-        m["num_pairs"] for m in tr.metrics_history[-1:]
+        m["max_dest_count"] for m in tr.metrics_history[-1:]
     )
     # post-grow iterations stop dropping
     assert dropped[-1] == 0, dropped
@@ -260,3 +260,27 @@ def test_sharded_tsdf_matches_single(mesh):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(sh.weight), np.asarray(ref.weight),
                                atol=1e-6)
+
+
+def test_a2a_rasterout_contract(mesh):
+    """VERDICT r3 weak #5: rasterize_a2a must honor the RasterOut contract —
+    num_pairs is the TRUE emitted pair count (not the dest-window
+    watermark, which lives in max_dest_count) and mean2d_ndc holds the
+    real per-gaussian NDC centers."""
+    from eogs2_tpu.parallel.sharded_raster import rasterize_a2a
+
+    means, scales, quats, opac, feat, alive, affine, bg = _args()
+    cfg = RasterizeConfig(tile_capacity=256, tile_chunk=16,
+                          max_tiles_per_gaussian=16, dest_cap=1 << 12)
+    oa = rasterize_a2a(mesh, means, scales, quats, opac, feat, affine, bg,
+                       W, H, cfg, alive=alive)
+    os_ = rasterize(means, scales, quats, opac, feat, affine, bg, W, H,
+                    cfg, alive=alive)
+    # emitted pairs agree when nothing clips (single-chip reports demand)
+    assert int(oa.num_pairs) == int(os_.num_pairs)
+    assert oa.max_dest_count is not None
+    assert int(oa.max_dest_count) <= int(oa.num_pairs)
+    assert int(oa.max_dest_count) > 0
+    np.testing.assert_allclose(np.asarray(oa.mean2d_ndc),
+                               np.asarray(os_.mean2d_ndc),
+                               atol=1e-5, rtol=1e-5)

@@ -388,6 +388,83 @@ def test_lpips_torch_structural_pin():
     assert abs(d_ab - expect) < 1e-6, (d_ab, expect)
 
 
+def test_lpips_calibrated_path_pin(tmp_path):
+    """VERDICT r3 item 7: the CALIBRATED lpips path (learned per-channel
+    linear heads) must apply lin_l(diff^2) -> spatial mean -> SUM over
+    blocks, exactly the reference chain (lpipsPyTorch/modules/lpips.py);
+    pinned with injected weights against an independent recomputation,
+    and load_lpips_weights round-trips both supported formats."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    from eogs2_tpu import metrics_cli
+
+    torch.manual_seed(0)
+
+    def block(cin, cout, n_conv):
+        layers = []
+        for i in range(n_conv):
+            layers += [nn.Conv2d(cin if i == 0 else cout, cout, 3, padding=1),
+                       nn.ReLU()]
+        layers.append(nn.MaxPool2d(2))
+        return layers
+
+    layers = (block(3, 8, 2) + block(8, 8, 2) + block(8, 8, 3)
+              + block(8, 8, 3) + block(8, 8, 3))
+    net = nn.Sequential(*layers).eval()
+
+    rng = np.random.RandomState(2)
+    a = rng.rand(3, 64, 64).astype(np.float32)
+    b = rng.rand(3, 64, 64).astype(np.float32)
+    lins = [rng.rand(8).astype(np.float32) for _ in range(5)]
+
+    got = metrics_cli.lpips_torch(a, b, net=net, lin_weights=lins)
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def unit_feats(x):
+        x = (torch.as_tensor(x)[None] - mean) / std
+        out = []
+        with torch.no_grad():
+            for i, layer in enumerate(net):
+                x = layer(x)
+                if i in (3, 8, 15, 22, 29):
+                    out.append(x / (x.norm(dim=1, keepdim=True) + 1e-10))
+        return out
+
+    # independent: numpy weighted channel sum, spatial mean, SUM of blocks
+    expect = 0.0
+    for w, fa, fb in zip(lins, unit_feats(a), unit_feats(b)):
+        d = (fa - fb).numpy() ** 2  # [1, C, H, W]
+        expect += float(
+            (w.reshape(1, -1, 1, 1) * d).sum(1).mean()
+        )
+    assert abs(got - expect) < 1e-6, (got, expect)
+
+    # loader round-trip: npz format
+    npz = str(tmp_path / "lpips.npz")
+    np.savez(npz, **{
+        f"lin{i}": np.concatenate(
+            [lins[i]] * (metrics_cli._VGG_WIDTHS[i] // 8)
+        ) for i in range(5)
+    })
+    loaded = metrics_cli.load_lpips_weights(npz)
+    assert [x.shape[0] for x in loaded] == list(metrics_cli._VGG_WIDTHS)
+    # loader round-trip: official vgg.pth torch state-dict format
+    pth = str(tmp_path / "vgg.pth")
+    torch.save(
+        {f"lin{i}.model.1.weight":
+         torch.as_tensor(loaded[i]).view(1, -1, 1, 1) for i in range(5)},
+        pth,
+    )
+    loaded2 = metrics_cli.load_lpips_weights(pth)
+    for x, y in zip(loaded, loaded2):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_big_testing_and_save_iterations(scene_dir, tmp_path):
     """big_testing_iterations drives the full train/test report and
     save_iterations drives mid-run model saves (train_pan.py:598-660)."""
@@ -420,3 +497,50 @@ def test_big_testing_and_save_iterations(scene_dir, tmp_path):
     assert any(k.startswith("train/psnr") for k in report_rows[0])
     img_dir = os.path.join(cfg.logging.model_path, "images")
     assert os.path.isdir(img_dir) and len(os.listdir(img_dir)) > 0
+
+
+def test_frozen_caps_overflow_is_loud(scene_dir, capsys):
+    """VERDICT r3 item 5: with auto_rebucket=False, a capacity overflow
+    must surface a nonzero clipped_pairs metric AND a printed warning —
+    never a silent clip."""
+    from eogs2_tpu.rasterizer import RasterizeConfig
+
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=60)
+    cfg.logging.tb_log_interval = 10
+    # deliberately undersized tiles/gaussian on the dense 32x32 scene
+    tiny = RasterizeConfig(tile_capacity=128, tile_chunk=8,
+                           max_tiles_per_gaussian=4, binning_mode="fused")
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=tiny,
+                 auto_rebucket=False).setup()
+    tr.train(progress=False)
+    # caps stayed frozen
+    assert tr.raster_cfg.max_tiles_per_gaussian == 4
+    assert tr.raster_cfg.tile_capacity == 128
+    clipped = [float(np.max(np.asarray(m["clipped_pairs"])))
+               for m in tr.metrics_history]
+    assert max(clipped) > 0, "scene must actually overflow the tiny caps"
+    out = capsys.readouterr().out
+    assert "WARNING: rasterizer clipped" in out
+
+
+def test_two_tier_trainer_end_to_end(scene_dir):
+    """Training with the two-tier emission (big_k>0) runs and reaches a
+    finite loss with zero clipped pairs at adequate capacities."""
+    from eogs2_tpu.rasterizer import RasterizeConfig
+
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=60)
+    cfg.logging.tb_log_interval = 10
+    rcfg = RasterizeConfig(tile_capacity=256, tile_chunk=8,
+                           max_tiles_per_gaussian=8, binning_mode="fused",
+                           big_k=16, big_tcap=64)
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg).setup()
+    tr.train(progress=False)
+    m = tr.metrics_history[-1]
+    assert np.isfinite(m["loss"])
+    # the big tier absorbed the wide splats: bulk tier never grew past 8
+    # (auto_rebucket would have grown it if the bulk max exceeded it)
+    assert tr.raster_cfg.big_k == 16
