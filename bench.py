@@ -88,10 +88,13 @@ def main():
     # (DESIGN.md sections 8-9). early_exit off: both bench scenes are
     # translucent/non-saturating, so the chunk early exit only costs its
     # per-chunk sync (the Trainer auto-picks it from observed saturation).
+    # eogs_features=True: the bench features ARE the EOGS channel layout
+    # [rgb, altitude, 1] (same as the trainer, which always sets this
+    # flag), letting the payload sorts skip the two derivable columns.
     mrays = _measure(
         100_000, 512, 512, 0.006, 0.7,
         dict(tile_capacity=512, tile_chunk=128, max_tiles_per_gaussian=4,
-             early_exit=False),
+             early_exit=False, eogs_features=True),
         iters=20,
     )
     # reference scale (VERDICT r2: the honest comparison point — 1M
@@ -100,7 +103,7 @@ def main():
     mrays_s = _measure(
         1_000_000, 1024, 1024, 2.4 / 1024, 0.10,
         dict(tile_capacity=1024, tile_chunk=128, max_tiles_per_gaussian=4,
-             early_exit=False),
+             early_exit=False, eogs_features=True),
         iters=5,
     )
     print(

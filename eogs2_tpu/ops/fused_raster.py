@@ -258,7 +258,7 @@ def _fwd_kernel(meta_ref, tstart_ref, cnt_ref, pay_hbm, out_ref, scratch, sem,
     n_chunks = jax.lax.div(cnt + (k_chunk - 1), k_chunk)
 
     def body(carry):
-        c, acc, carry_t, t_live = carry
+        c, acc, carry_t, t_live, nlive = carry
         blk = scratch[slot, pl.ds(c * k_chunk, k_chunk), :]
         alpha, _, _, _, feat = _chunk_fields(blk, c, k_chunk, 0, cnt,
                                              basis, ox, oy)
@@ -280,10 +280,16 @@ def _fwd_kernel(meta_ref, tstart_ref, cnt_ref, pay_hbm, out_ref, scratch, sem,
         t_live = jnp.minimum(
             t_live, jnp.min(jnp.where(live, cp, 1.0), axis=0, keepdims=True)
         )
-        return c + 1, acc, cp[-1:, :], t_live
+        # n_contrib chunks for the backward walk bound (see col kernel)
+        dead = jnp.max(cp[-1:, :]) < T_EPS
+        nlive = jnp.minimum(
+            nlive, jnp.where(dead, (c + 1).astype(jnp.float32), nlive)
+        )
+        return c + 1, acc, cp[-1:, :], t_live, nlive
 
     init = (jnp.int32(0), jnp.zeros((P, 5), jnp.float32),
-            jnp.ones((1, P), jnp.float32), jnp.ones((1, P), jnp.float32))
+            jnp.ones((1, P), jnp.float32), jnp.ones((1, P), jnp.float32),
+            jnp.float32(1e9))
     if early_exit:
         # chunk-granular early out, exact: once every pixel's T is already
         # below T_EPS, live==False for every remaining pair. Costs one
@@ -291,16 +297,18 @@ def _fwd_kernel(meta_ref, tstart_ref, cnt_ref, pay_hbm, out_ref, scratch, sem,
         # toggle: ON for saturating scenes (opaque ground coverage), OFF
         # when tiles rarely die before their count runs out.
         def cond(carry):
-            c, _, carry_t, _ = carry
+            c, _, carry_t, _, _ = carry
             return (c < n_chunks) & (jnp.max(carry_t) >= T_EPS)
 
-        _, acc, _, t_live = jax.lax.while_loop(cond, body, init)
+        _, acc, _, t_live, nlive = jax.lax.while_loop(cond, body, init)
     else:
-        _, acc, _, t_live = jax.lax.fori_loop(
+        _, acc, _, t_live, nlive = jax.lax.fori_loop(
             0, n_chunks, lambda i, carry: body(carry), init
         )
+    nlive = jnp.minimum(nlive, n_chunks.astype(jnp.float32))
     out_ref[0] = jnp.concatenate(
-        [acc, t_live.T, jnp.zeros((P, 2), jnp.float32)], axis=1
+        [acc, t_live.T, jnp.full((P, 1), 1.0, jnp.float32) * nlive,
+         jnp.zeros((P, 1), jnp.float32)], axis=1
     )
 
 
@@ -328,6 +336,9 @@ def _bwd_kernel(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref, fwd_ref,
     ox, oy = _origin(grid_x, meta_ref[0])
     basis = _pixel_basis()
     n_chunks = jax.lax.div(cnt + (k_chunk - 1), k_chunk)
+    # forward-recorded n_contrib chunk bound (see col kernel)
+    nlive = fwd_ref[0, 0, 6].astype(jnp.int32)
+    n_chunks = jnp.minimum(n_chunks, nlive)
     g_pix = gout_ref[0, :, :5]  # [P, 5]
     g_ft = gout_ref[0, :, 5:6].T  # [1, P]
 
@@ -541,7 +552,7 @@ def _fwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, out_ref, scratch,
     n_chunks = jax.lax.div(shift + cnt + (k_chunk - 1), k_chunk)
 
     def body(carry):
-        c, acc, carry_t, t_live = carry
+        c, acc, carry_t, t_live, nlive = carry
         blk = scratch[slot, :, pl.ds(c * k_chunk, k_chunk)]  # [NF, Kc]
         alpha, _, _, _, feat = _chunk_fields_col(
             blk, c, k_chunk, shift, shift + cnt, basis_t, ox, oy
@@ -560,22 +571,36 @@ def _fwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, out_ref, scratch,
         t_live = jnp.minimum(
             t_live, jnp.min(jnp.where(live, cp, 1.0), axis=1, keepdims=True)
         )  # [P, 1]
-        return c + 1, acc, cp[:, -1:], t_live
+        # n_contrib chunks (CUDA forward.cu:371-377 n_contrib analog, at
+        # chunk granularity): the first chunk after which EVERY pixel's T
+        # fell below T_EPS. A pure dataflow min — no scalar sync — that
+        # the backward reads to bound its walk (chunks past it carry
+        # exactly-zero gradients).
+        dead = jnp.max(cp[:, -1:]) < T_EPS
+        nlive = jnp.minimum(
+            nlive,
+            jnp.where(dead, (c + 1).astype(jnp.float32), nlive),
+        )
+        return c + 1, acc, cp[:, -1:], t_live, nlive
 
+    big_f = jnp.float32(1e9)
     init = (jnp.int32(0), jnp.zeros((P, 5), jnp.float32),
-            jnp.ones((P, 1), jnp.float32), jnp.ones((P, 1), jnp.float32))
+            jnp.ones((P, 1), jnp.float32), jnp.ones((P, 1), jnp.float32),
+            big_f)
     if early_exit:
         def cond(carry):
-            c, _, carry_t, _ = carry
+            c, _, carry_t, _, _ = carry
             return (c < n_chunks) & (jnp.max(carry_t) >= T_EPS)
 
-        _, acc, _, t_live = jax.lax.while_loop(cond, body, init)
+        _, acc, _, t_live, nlive = jax.lax.while_loop(cond, body, init)
     else:
-        _, acc, _, t_live = jax.lax.fori_loop(
+        _, acc, _, t_live, nlive = jax.lax.fori_loop(
             0, n_chunks, lambda i, carry: body(carry), init
         )
+    nlive = jnp.minimum(nlive, n_chunks.astype(jnp.float32))
     out_ref[0] = jnp.concatenate(
-        [acc, t_live, jnp.zeros((P, 2), jnp.float32)], axis=1
+        [acc, t_live, jnp.full((P, 1), 1.0, jnp.float32) * nlive,
+         jnp.zeros((P, 1), jnp.float32)], axis=1
     )
 
 
@@ -604,6 +629,13 @@ def _bwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref,
     ox, oy = _origin(grid_x, meta_ref[0])
     basis_t = _pixel_basis(transposed=True)  # [P, 6]
     n_chunks = jax.lax.div(shift + cnt + (k_chunk - 1), k_chunk)
+    # bound the walk by the forward's recorded n_contrib chunks (channel 6):
+    # chunks past the point where every pixel died carry exactly-zero
+    # gradients, so skipping them is exact — and unlike the early-exit
+    # while_loop this costs no per-chunk scalar sync (CUDA n_contrib,
+    # backward.cu:457-475 analog)
+    nlive = fwd_ref[0, 0, 6].astype(jnp.int32)
+    n_chunks = jnp.minimum(n_chunks, nlive)
     g_pix = gout_ref[0, :, :5]  # [P, 5]
     g_ft = gout_ref[0, :, 5:6]  # [P, 1]
     final_t = fwd_ref[0, :, 5:6]  # [P, 1]
@@ -881,13 +913,13 @@ def _emission_tabs(prep, width, height, tcap, big_k, big_tcap):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10)
 )
 def _fused_sorted_blend(pay_cols, tile_tab, depth_tab, big_idx, shape_info,
                         tiers, k_chunk, interpret, early_exit=True,
-                        col=False):
+                        col=False, eogs=False):
     out, _ = _fused_fwd(pay_cols, tile_tab, depth_tab, big_idx, shape_info,
-                        tiers, k_chunk, interpret, early_exit, col)
+                        tiers, k_chunk, interpret, early_exit, col, eogs)
     return out
 
 
@@ -953,7 +985,8 @@ def _sort_and_range(pay_cols, tile_tab, depth_tab, n_tiles, tiers,
     tids = jnp.arange(n_tiles, dtype=jnp.float32)
     tstart = jnp.searchsorted(sort_tile, tids).astype(jnp.int32)
     tend = jnp.searchsorted(sort_tile, tids + 1.0).astype(jnp.int32)
-    return sorted_cols, sort_tile, src_idx, tstart, tend - tstart
+    return (sorted_cols, sorted_ops[1], sort_tile, src_idx, tstart,
+            tend - tstart)
 
 
 def _pack_col(sorted_cols, p, k_cap):
@@ -967,13 +1000,22 @@ def _pack_col(sorted_cols, p, k_cap):
 
 
 def _fused_fwd(pay_cols, tile_tab, depth_tab, big_idx, shape_info, tiers,
-               k_chunk, interpret, early_exit=True, col=False):
+               k_chunk, interpret, early_exit=True, col=False, eogs=False):
     n_tiles, k_cap, grid_x = shape_info
     n = pay_cols[0].shape[0]
     f = len(pay_cols)
-    sorted_cols, sort_tile, src_idx, tstart, cnt = _sort_and_range(
-        pay_cols, tile_tab, depth_tab, n_tiles, tiers, big_idx
+    # eogs feature layout [rgb, altitude, 1] (renderer.py:87-93): the
+    # altitude column equals -depth (the caller builds the depth key from
+    # it, so bit-exact BY CONSTRUCTION) and the last column is the
+    # constant 1 — neither rides the sort. 12 operands instead of 14.
+    carry_cols = pay_cols[:9] if eogs else pay_cols
+    sorted_cols, sorted_depth, sort_tile, src_idx, tstart, cnt = (
+        _sort_and_range(carry_cols, tile_tab, depth_tab, n_tiles, tiers,
+                        big_idx)
     )
+    if eogs:
+        sorted_cols = sorted_cols + (-sorted_depth,
+                                     jnp.ones_like(sorted_depth))
     p = tile_tab.shape[0]
     # the ONE materialization: the kernels' DMA source. col: 64 B/pair;
     # wide: 512 B/pair (rows padded so every window is in bounds).
@@ -996,13 +1038,19 @@ def _fused_fwd(pay_cols, tile_tab, depth_tab, big_idx, shape_info, tiers,
     return out, res
 
 
-def _fused_bwd(shape_info, tiers, k_chunk, interpret, early_exit, col, res,
-               cots):
+def _fused_bwd(shape_info, tiers, k_chunk, interpret, early_exit, col, eogs,
+               res, cots):
     n_tiles, k_cap, grid_x = shape_info
     pay_pad, out8, sort_tile, src_idx, tstart, cnt, big_idx, n, f = res
     if isinstance(tiers, int):
         tiers = (tiers, 0, 0)
     tcap, big_k, big_tcap = tiers
+    # eogs layout: the constant-1 channel's gradient is returned as zeros
+    # (the caller constructs that column with jnp.ones, whose cotangent is
+    # discarded upstream), so it skips the return sort — 11 operands
+    # instead of 12. The altitude gradient (column 9) IS carried: it
+    # drives means/affine through the altitude feature.
+    f_ret = f - 1 if eogs else f
     g_out8 = cots.out8
     gpay_pad = _fused_bwd_call(
         pay_pad, g_out8, out8, tstart, cnt, n_tiles, k_cap, k_chunk, grid_x,
@@ -1026,11 +1074,11 @@ def _fused_bwd(shape_info, tiers, k_chunk, interpret, early_exit, col, res,
     # uninitialized and may hold NaN, which a 0-multiply would propagate
     if col:
         gcols = tuple(
-            jnp.where(ok, gpay_pad[j, :p], 0.0) for j in range(f)
+            jnp.where(ok, gpay_pad[j, :p], 0.0) for j in range(f_ret)
         )
     else:
         gcols = tuple(
-            jnp.where(ok, gpay_pad[:p, j], 0.0) for j in range(f)
+            jnp.where(ok, gpay_pad[:p, j], 0.0) for j in range(f_ret)
         )
     sorted_out = jax.lax.sort((src_idx,) + gcols, num_keys=1)
     if big_k:
@@ -1051,6 +1099,8 @@ def _fused_bwd(shape_info, tiers, k_chunk, interpret, early_exit, col, res,
         g_cols = tuple(
             emission_reduce(c, n, tcap) for c in sorted_out[1:]
         )
+    if eogs:
+        g_cols = g_cols + (jnp.zeros((n,), jnp.float32),)
     zeros_keys = jnp.zeros((p,), jnp.float32)
     return (g_cols, zeros_keys, zeros_keys,
             jnp.zeros_like(big_idx))
@@ -1074,18 +1124,31 @@ def rasterize_fused(
     col: bool = False,
     big_k: int = 0,
     big_tcap: int = 64,
+    eogs_features: bool = False,
 ):
     """Differentiable fused path. Returns FusedOut (out8 pre-background).
 
     big_k > 0 enables the two-tier emission (_emission_tabs): the bulk
     [tcap, N] table plus a [big_tcap, big_k] top-K big-splat table, so the
-    sort is sized by typical splats while outliers get big_tcap rows."""
+    sort is sized by typical splats while outliers get big_tcap rows.
+
+    eogs_features: features are [rgb, altitude, 1] (the EOGS channel
+    layout, renderer.py:87-93). The sort key depth is then DEFINED as
+    -features[:, 3], so the altitude column is reconstructed bit-exactly
+    from the sorted key instead of riding the sort, and the constant-1
+    column is rebuilt post-sort — the two payload sorts shrink from
+    14/12 operands to 12/11 (they are ~48% of the e2e render cost)."""
     grid_x, grid_y = grid_dims(width, height)
     big_k = min(big_k, prep.depth.shape[0])
+    eogs = bool(eogs_features) and features.shape[1] == 5
+    prep_keys = jax.tree.map(jax.lax.stop_gradient, prep)
+    if eogs:
+        prep_keys = prep_keys._replace(
+            depth=jax.lax.stop_gradient(-features[:, 3])
+        )
     (tile_tab, depth_tab, big_idx, n_tiles, clipped, bulk_max,
      big_max) = _emission_tabs(
-        jax.tree.map(jax.lax.stop_gradient, prep), width, height, tcap,
-        big_k, big_tcap,
+        prep_keys, width, height, tcap, big_k, big_tcap,
     )
     pay_cols = (
         prep.mean2d[:, 0], prep.mean2d[:, 1],
@@ -1096,6 +1159,7 @@ def rasterize_fused(
     out = _fused_sorted_blend(
         pay_cols, tile_tab, depth_tab, big_idx, shape_info,
         (tcap, big_k, big_tcap), k_chunk, interpret, early_exit, col,
+        eogs,
     )
     num_pairs = jnp.sum(prep.tiles_touched)
     # tile_capacity clips pairs beyond k_cap in a tile (kernel windows walk

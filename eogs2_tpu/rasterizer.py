@@ -80,6 +80,13 @@ class RasterizeConfig:
     # true demand (rasterizer_impl.cu:280-288).
     big_k: int = 0
     big_tcap: int = 64
+    # fused kernels: features are the EOGS layout [rgb, altitude, 1]
+    # (renderer.py:87-93). The sort key becomes -features[:,3] and the two
+    # derivable columns (altitude, constant 1) skip the payload sorts —
+    # 12/11 sort operands instead of 14/12; the constant channel's
+    # gradient is returned as zeros (its cotangent is discarded upstream).
+    # Safe ONLY for that layout; the trainer turns it on itself.
+    eogs_features: bool = False
 
     def bucketed(self, max_tile: int, max_tiles_per_gaussian: int,
                  big_max_tiles: int = 0) -> "RasterizeConfig":
@@ -223,6 +230,7 @@ def rasterize(
             col=config.payload_col,
             big_k=config.big_k,
             big_tcap=config.big_tcap,
+            eogs_features=config.eogs_features,
         )
         out = fo.out8[:, :, :5] + fo.out8[:, :, 5:6] * bg[None, None, :]
         final_t = fo.out8[:, :, 5]

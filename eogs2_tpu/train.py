@@ -172,6 +172,11 @@ def make_train_step(
     use_exposure = cfg.model.camera_params.use_exposure
     use_shadow = cfg.model.camera_params.use_shadow
 
+    # the trainer always renders the EOGS channel layout [rgb, alt, 1]
+    # (feats built below), so the fused sorts can skip the two derivable
+    # payload columns (fused_raster.rasterize_fused eogs_features)
+    raster_cfg = dataclasses.replace(raster_cfg, eogs_features=True)
+
     if raster_backend == "a2a":
         # the scalable multi-chip path: Gaussian-sharded preprocess,
         # all_to_all pair exchange, tile-band-sharded fused Pallas blend

@@ -117,6 +117,23 @@ def main():
                   flush=True)
         return
 
+    if "--steps" in sys.argv:
+        # CPU virtual meshes: a2a train-step wall clock at 1/2/4/8 virtual
+        # devices. NOT a throughput claim — virtual devices time-share one
+        # host CPU, so ideal scaling shows as ~FLAT step time (n chips do
+        # n-fold work in the same wall clock); a superlinear rise is real
+        # overhead (exchange volume, pow2 slack, band imbalance).
+        for n_dev in (1, 2, 4, 8):
+            mesh = make_mesh(n_dev)
+            tr = build(d, img, 400, "a2a", mesh, dest_cap=1 << 15)
+            tr.train(max_iterations=30, progress=False)
+            t0 = time.perf_counter()
+            tr.train(max_iterations=60, progress=False)
+            dt = (time.perf_counter() - t0) / 60
+            print(f"a2a virtual mesh({n_dev}) train step: {dt * 1e3:8.2f} ms",
+                  flush=True)
+        return
+
     # chip: a2a on mesh(1) vs gspmd (plain rasterize) — same scene/config
     for backend in ("gspmd", "a2a"):
         mesh = make_mesh(1)

@@ -29,7 +29,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from eogs2_tpu.rasterizer import RasterizeConfig, rasterize
 from eogs2_tpu.ops.gaussians import build_cov3d
 from eogs2_tpu.ops.projection import preprocess_gaussians, compute_cov2d_direct
-from eogs2_tpu.ops.pair_pipeline import _emission_keys
+from eogs2_tpu.ops.pair_pipeline import _emission_keys, emission_broadcast
 from eogs2_tpu.ops.binning import grid_dims
 from eogs2_tpu.ops import fused_raster as FR
 
@@ -109,7 +109,7 @@ pay_cols0 = (
 ) + tuple(feat[:, j] for j in range(feat.shape[1]))
 _sorted = jax.jit(lambda pc, tt, dt_: FR._sort_and_range(
     pc, tt, dt_, n_tiles, TCAP))(pay_cols0, tile_tab0, depth_tab0)
-sorted_cols0, sort_tile0, src_idx0, tstart0, cnt0 = _sorted
+sorted_cols0, _sd0, sort_tile0, src_idx0, tstart0, cnt0 = _sorted
 p = tile_tab0.shape[0]
 if COL:
     pay_pad0 = jax.jit(lambda sc: FR._pack_col(sc, p, KCAP))(sorted_cols0)
@@ -148,9 +148,30 @@ def f_keys(z, prep0):
 
 def f_sort(z, pay_cols0, tile_tab0, depth_tab0):
     cols = tuple(c + z for c in pay_cols0)
-    sc, st, si, ts, cn = FR._sort_and_range(cols, tile_tab0, depth_tab0,
-                                            n_tiles, TCAP)
+    sc, sd, st, si, ts, cn = FR._sort_and_range(cols, tile_tab0, depth_tab0,
+                                                n_tiles, TCAP)
     return sum(jnp.sum(c) for c in sc) + jnp.sum(ts.astype(jnp.float32))
+
+
+def f_sort_raw(z, pay_cols0, tile_tab0, depth_tab0):
+    """RAW 14-operand sort only, scalar-pick of EVERY output column (a
+    pick of only 2 columns lets XLA prune the unused sort results down to
+    a 3-operand sort — the round-3 micro fell into exactly that trap and
+    under-read the sort ~3x)."""
+    cols = tuple(emission_broadcast(c + z, TCAP) for c in pay_cols0)
+    iota = jnp.arange(tile_tab0.shape[0], dtype=jnp.int32)
+    out = jax.lax.sort((tile_tab0 + z, depth_tab0, iota) + cols, num_keys=2)
+    return sum(o[0].astype(jnp.float32) for o in out)
+
+
+def f_sortrange_raw(z, pay_cols0, tile_tab0, depth_tab0):
+    """sort + searchsorted range cut, scalar-pick of every output."""
+    cols = tuple(c + z for c in pay_cols0)
+    sc, sd, st, si, ts, cn = FR._sort_and_range(
+        cols, tile_tab0 + z, depth_tab0, n_tiles, TCAP)
+    return (sum(c[0] for c in sc) + sd[0] + st[0]
+            + si[0].astype(jnp.float32)
+            + ts[0].astype(jnp.float32) + cn[0].astype(jnp.float32))
 
 
 def f_paypad(z, sorted_cols0):
@@ -237,6 +258,10 @@ timeit("preprocess fwd", f_prep, means, scales, quats, opac)
 timeit("preprocess fwd+bwd", f_prep_grad, means, scales, quats, opac)
 timeit("emission keys", f_keys, prep0)
 timeit("emission sort+range", f_sort, pay_cols0, tile_tab0, depth_tab0)
+timeit("emission sort RAW (scalar pick)", f_sort_raw, pay_cols0, tile_tab0,
+       depth_tab0)
+timeit("emission sort+range RAW", f_sortrange_raw, pay_cols0, tile_tab0,
+       depth_tab0)
 timeit("pay_pad materialize", f_paypad, sorted_cols0)
 timeit("fwd kernel", f_fwdkernel, pay_pad0, tstart0, cnt0)
 timeit("bwd kernel", f_bwdkernel, pay_pad0, out8_0, tstart0, cnt0)

@@ -64,22 +64,27 @@ def main():
 
     print(f"device={jax.devices()[0].platform} rows={ROWS}")
 
+    def keep_all(out):
+        # scalar-pick EVERY output: XLA prunes unused sort result columns
+        # (round-3's 2-output picks measured a silently 3-operand sort)
+        return sum(o.reshape(-1)[0].astype(jnp.float32) for o in out)
+
     def s_2key_pay(d, t):
         out = jax.lax.sort((t, d, iota) + tuple(pay), num_keys=2)
-        return out[2][0].astype(jnp.float32) + out[3][0]
+        return keep_all(out)
 
     def s_1keyf_pay(k):
         out = jax.lax.sort((k, iota) + tuple(pay), num_keys=1)
-        return out[1][0].astype(jnp.float32) + out[2][0]
+        return keep_all(out)
 
     def s_1keyi_pay(k0, k):
         out = jax.lax.sort((k + (k0 * 0).astype(jnp.int32), iota) + tuple(pay),
                            num_keys=1)
-        return out[1][0].astype(jnp.float32) + out[2][0]
+        return keep_all(out)
 
     def s_2key_iota(d, t):
         out = jax.lax.sort((t, d, iota), num_keys=2)
-        return out[2][0].astype(jnp.float32) + out[1][0]
+        return keep_all(out)
 
     timeit("2 f32 keys + 11 payload (current)", s_2key_pay, depth, tile)
 
@@ -89,11 +94,40 @@ def main():
         out = jax.lax.sort((t, d, iota), num_keys=2)
         si = out[2]
         cols = tuple(jnp.take(c, si) for c in pay)
-        return out[1][0] + cols[0][0]
+        return keep_all(out[:2] + cols)
 
     timeit("2 keys sort + 11 gathers", s_2key_gather, depth, tile)
     timeit("1 packed f32 key + 11 payload", s_1keyf_pay, packed_f)
     timeit("1 packed i32 key + 11 payload", s_1keyi_pay, depth, packed_i)
+
+    # (d2) EXACT single u32 key: tile*N_rank + depth-rank. Depth ranks come
+    # from one cheap [N]-row pre-sort (the pair table is ~tcap x bigger),
+    # and tile*(N+1)+rank fits u32 for n_tiles*N < 2^32 — bit-exact
+    # (tile, depth) order with rank tie-breaking, no quantization.
+    n_rank = ROWS // 4  # gaussian count at tcap=4
+    rank = jnp.asarray(
+        rng.randint(0, n_rank, ROWS).astype(np.uint32))
+    packed_u = (tile.astype(jnp.uint32) * jnp.uint32(n_rank)
+                + rank % jnp.uint32(n_rank))
+
+    def s_1keyu_pay(k0, k):
+        out = jax.lax.sort((k + (k0 * 0).astype(jnp.uint32), iota)
+                           + tuple(pay), num_keys=1)
+        return keep_all(out)
+
+    timeit("1 exact u32 rank key + 11 payload", s_1keyu_pay, depth, packed_u)
+
+    # the [N]-row rank pre-sort pair (sort by depth + invert): the price of
+    # the u32 key scheme
+    gdepth = jnp.asarray(rng.rand(n_rank).astype(np.float32))
+    giota = jnp.arange(n_rank, dtype=jnp.int32)
+
+    def s_rank_pre(d):
+        _, si = jax.lax.sort((d, giota), num_keys=1)
+        _, rk = jax.lax.sort((si, giota), num_keys=1)
+        return rk[0].astype(jnp.float32) + si[0].astype(jnp.float32)
+
+    timeit("rank pre-sort pair ([N] rows)", s_rank_pre, gdepth)
     timeit("2 f32 keys + iota only", s_2key_iota, depth, tile)
 
     # (e) row-bucketed: B independent sorts as ONE batched lax.sort along
@@ -112,7 +146,7 @@ def main():
         def s_batched(d, t, iota_b=iota_b, pay_b=pay_b):
             out = jax.lax.sort((t, d, iota_b) + tuple(pay_b), num_keys=2,
                                dimension=-1)
-            return out[2][0, 0].astype(jnp.float32) + out[3][0, 0]
+            return keep_all(out)
 
         timeit(f"2 keys + 11 payload batched B={b:3d}", s_batched,
                depth_b, tile_b)
@@ -147,7 +181,7 @@ def main():
 
     def s_sort_and_range(d, t):
         cols = tuple(c[:n_src] + d[:n_src] * 1e-30 for c in pay)
-        sc, st, si, ts, cn = FR._sort_and_range(cols, t, d, N_TILES, 4)
+        sc, sd, st, si, ts, cn = FR._sort_and_range(cols, t, d, N_TILES, 4)
         return sc[0][0] + cn[0].astype(jnp.float32)
 
     timeit("FULL _sort_and_range (tcap=4)", s_sort_and_range, depth, tile)

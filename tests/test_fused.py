@@ -196,3 +196,37 @@ def test_two_tier_clip_accounting():
               + np.maximum(tiles[big] - 16, 0).sum())
     assert int(out.clipped_pairs) == int(expect)
     assert int(out.clipped_pairs) > 0
+
+
+def test_eogs_features_sort_diet_matches():
+    """eogs_features=True (altitude reconstructed from the depth key, ones
+    rebuilt post-sort, constant-channel gradient zeroed) must reproduce the
+    generic path: same image and same gradients for every real input."""
+    args = make_scene(n=384, seed=21)
+    cfg0 = RasterizeConfig(tile_capacity=256, max_tiles_per_gaussian=16,
+                           binning_mode="fused")
+    cfg1 = RasterizeConfig(tile_capacity=256, max_tiles_per_gaussian=16,
+                           binning_mode="fused", eogs_features=True)
+
+    def loss_with(cfg):
+        def loss(means, scales, quats, opac, affine):
+            # feats rebuilt inside so the altitude column is means-linked
+            alt = means @ affine[2, :3] + affine[2, 3]
+            feat = jnp.concatenate(
+                [args[4][:, :3], alt[:, None], jnp.ones_like(alt)[:, None]],
+                axis=1)
+            out = rasterize(means, scales, quats, opac, feat, affine,
+                            args[6], W, H, cfg)
+            return jnp.sum(out.image[:3] ** 2) + jnp.sum(out.final_t ** 2)
+        return loss
+
+    a = (args[0], args[1], args[2], args[3], args[5])
+    v0 = loss_with(cfg0)(*a)
+    v1 = loss_with(cfg1)(*a)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    g0 = jax.grad(loss_with(cfg0), argnums=(0, 1, 2, 3, 4))(*a)
+    g1 = jax.grad(loss_with(cfg1), argnums=(0, 1, 2, 3, 4))(*a)
+    for nm, x, y in zip(["means", "scales", "quats", "opac", "affine"],
+                        g0, g1):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-5, rtol=1e-4, err_msg=nm)
