@@ -579,6 +579,11 @@ def make_train_step(
         def chunk(self, *args):
             return chunk_jit(*args)
 
+        def lower(self, *args):
+            # AOT access for bucket pre-warming (Trainer.prewarm_bucket_
+            # ladder): compile into the persistent cache without running
+            return step_jit.lower(*args)
+
     return CompiledTrainStep()
 
 
@@ -819,6 +824,43 @@ class Trainer:
                 raster_backend=self.raster_backend,
             )
         return self._steps[phase]
+
+    def prewarm_bucket_ladder(self, iteration: int = 1, steps_up: int = 1):
+        """AOT-compile the train step at the next `steps_up` capacity
+        buckets into the persistent compile cache (VERDICT r3 item 5 /
+        weak #3): a later auto-rebucket grow then costs a cache hit
+        instead of a fresh multi-minute remote compile at scale. Uses the
+        phase active at `iteration` and the CURRENT state's abstract
+        shapes; call after setup() (and again after densify growth if the
+        model capacity changed)."""
+        phase = phase_for_iteration(self.cfg, iteration)
+        saved_cfg, saved_steps = self.raster_cfg, self._steps
+        try:
+            rc = self.raster_cfg
+            for _ in range(steps_up):
+                rc = rc.bucketed(
+                    rc.tile_capacity,  # >= 0.95*K triggers growth -> next
+                    rc.max_tiles_per_gaussian + 1,
+                    big_max_tiles=(rc.big_tcap + 1 if rc.big_k else 0),
+                )
+                self.raster_cfg = rc
+                self._steps = {}
+                step = self._get_step(phase)
+                absargs = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        jnp.asarray(x).shape, jnp.asarray(x).dtype
+                    ),
+                    (self.state, jnp.int32(0), jax.random.PRNGKey(0),
+                     make_gates(self.cfg, iteration, self.init_count)),
+                )
+                step.lower(*absargs).compile()
+                print(
+                    f"prewarmed bucket: K={rc.tile_capacity} "
+                    f"tcap={rc.max_tiles_per_gaussian} "
+                    f"big_tcap={rc.big_tcap}"
+                )
+        finally:
+            self.raster_cfg, self._steps = saved_cfg, saved_steps
 
     def _maintenance(self, iteration: int):
         """Pruning / densification / opacity reset (train_pan.py:672-736)."""

@@ -162,3 +162,39 @@ def test_fused_overflow_write_order_on_chip():
         aw, bw = np.asarray(a, np.float64), np.asarray(b, np.float64)
         scale = max(np.max(np.abs(bw)), 1e-6)
         assert np.max(np.abs(aw - bw)) / scale < 2e-3
+
+
+def test_two_tier_and_eogs_diet_on_chip():
+    """Round-4 paths on the real chip: two-tier emission (big_k>0) and the
+    EOGS sort operand diet (eogs_features) must each match the plain fused
+    path bit-for-tolerance, fwd + gradients (the altitude column is
+    reconstructed from the sorted depth key; n_contrib bounds the bwd)."""
+    from eogs2_tpu.rasterizer import RasterizeConfig
+
+    means, scales, quats, op, feat, affine, bg = _scene(20_000, seed=5)
+    # a few outlier splats so the big tier actually engages
+    scales = scales.at[:32].mul(8.0)
+    args = (means, scales, quats, op, feat, affine, bg)
+    w = h = 256
+    base = dict(tile_capacity=1024, tile_chunk=128)
+    cfg0 = RasterizeConfig(binning_mode="fused", max_tiles_per_gaussian=32,
+                           **base)
+    cfg_tier = RasterizeConfig(binning_mode="fused", max_tiles_per_gaussian=4,
+                               big_k=64, big_tcap=32, **base)
+    cfg_eogs = RasterizeConfig(binning_mode="fused", max_tiles_per_gaussian=32,
+                               eogs_features=True, **base)
+    (l0, o0), g0 = _vgrad(cfg0, w, h)(*args)
+    (lt, ot), gt = _vgrad(cfg_tier, w, h)(*args)
+    (le, oe), ge = _vgrad(cfg_eogs, w, h)(*args)
+    assert int(ot.clipped_pairs) == 0, int(ot.clipped_pairs)
+    # two-tier: identical pair set -> bit-identical-to-tolerance
+    np.testing.assert_allclose(np.asarray(o0.image), np.asarray(ot.image),
+                               atol=1e-5, rtol=1e-5)
+    # eogs diet: altitude rebuilt from the key; same pairs, same order
+    np.testing.assert_allclose(np.asarray(o0.image), np.asarray(oe.image),
+                               atol=1e-5, rtol=1e-5)
+    for ga, gb in ((gt, g0), (ge, g0)):
+        for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            aw, bw = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            scale = max(np.max(np.abs(bw)), 1e-6)
+            assert np.max(np.abs(aw - bw)) / scale < 2e-3

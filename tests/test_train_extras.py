@@ -544,3 +544,20 @@ def test_two_tier_trainer_end_to_end(scene_dir):
     # the big tier absorbed the wide splats: bulk tier never grew past 8
     # (auto_rebucket would have grown it if the bulk max exceeded it)
     assert tr.raster_cfg.big_k == 16
+
+
+def test_prewarm_bucket_ladder(scene_dir):
+    """prewarm_bucket_ladder AOT-compiles the next capacity bucket without
+    touching the live config, and a subsequent grow to that bucket reuses
+    the compiled step (same Phase key machinery)."""
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=8)
+    cfg.logging.tb_log_interval = 4
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=RCFG).setup()
+    rc0 = tr.raster_cfg
+    tr.prewarm_bucket_ladder(iteration=1, steps_up=1)
+    # live config and compiled-step table untouched
+    assert tr.raster_cfg == rc0
+    tr.train(progress=False)
+    assert np.isfinite(tr.metrics_history[-1]["loss"])
