@@ -70,6 +70,30 @@ def _measure(n, w, h, scale_px, opac_v, cfg_kwargs, iters):
 def main():
     import jax
 
+    if "--dense" in sys.argv:
+        # matched-workload point (VERDICT r3 missing #3): the pinned
+        # 26 Mrays/s 3090 model is charged with ~10M pairs (~10
+        # tiles/gaussian); the standard scale scene only emits ~2.4M.
+        # sigma=8 px -> rect ~3x3 tiles -> ~10 pairs/gaussian.
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        mrays_d = _measure(
+            1_000_000, 1024, 1024, 8.0 / 1024, 0.10,
+            dict(tile_capacity=4096, tile_chunk=256,
+                 max_tiles_per_gaussian=16, early_exit=False,
+                 eogs_features=True),
+            iters=3,
+        )
+        print(json.dumps({
+            "metric": "fwd+bwd at matched pair density "
+                      "(1024x1024, 1M gaussians, ~10M pairs)",
+            "value": round(mrays_d, 3), "unit": "Mrays/s/chip",
+            "vs_baseline": round(mrays_d / REFERENCE_MRAYS_S_SCALE, 4),
+        }))
+        return
+
     jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     try:

@@ -25,7 +25,7 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from eogs2_tpu.config import eogsplus
+from eogs2_tpu.config import baseogs, eogsplus
 from eogs2_tpu.data.synthetic import generate_scene
 from eogs2_tpu.eval.mae import MaeComputer
 from eogs2_tpu.model import GaussianModel
@@ -40,6 +40,11 @@ SCALE = float(sys.argv[3]) if len(sys.argv) > 3 else 100.0  # ~1.04M init
 RES = 0.5
 
 d = sys.argv[4] if len(sys.argv) > 4 else "/tmp/scale_scene"
+# recipe: eogsplus (default; 40k-iteration schedule, gates compressed when
+# ITERS is small) or baseogs (the reference's COMPLETE 5k-iteration
+# baseline recipe, gs_config/experiments/baseogs.yaml — at ITERS=5000 this
+# is a full reference training budget, not a truncation)
+RECIPE = sys.argv[5] if len(sys.argv) > 5 else "eogsplus"
 if not os.path.exists(os.path.join(d, "affine_models.json")):
     print(f"generating {WIDTH}² scene at scale={SCALE} ...", flush=True)
     # ms modality: pan companions for the 3PAN eogsplus recipe
@@ -51,7 +56,7 @@ scene = load_scene(d, images_msi_path=os.path.join(d, "images"),
 print(f"scene: {len(scene.train_views)} train views, "
       f"init {len(scene.init_xyz)} gaussians", flush=True)
 
-cfg = eogsplus(d, iterations=ITERS)
+cfg = (baseogs if RECIPE == "baseogs" else eogsplus)(d, iterations=ITERS)
 cfg.logging.tb_log_interval = 100
 # Two-tier emission (round 4): the round-3 run measured the auto-rebucketer
 # growing tcap 4->8->16->32 in the first 150 iters because a HANDFUL of
