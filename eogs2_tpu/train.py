@@ -825,6 +825,81 @@ class Trainer:
             )
         return self._steps[phase]
 
+    def probe_capacities(self, big_k: int = 4096, slack: float = 1.5,
+                         sample_views: int = 0) -> "RasterizeConfig":
+        """Size the rasterizer capacities from the CURRENT state's
+        preprocess — no rasterization, no big compiles (preprocess is a
+        few ms): per-camera tiles_touched histograms pick the bulk tcap
+        (smallest pow2 whose overflow population fits the big tier), the
+        big tier cap (max splat), and tile_capacity (densest tile via a
+        2-D difference-array rect count). The frozen-caps analog of the
+        CUDA dynamic buffer resize (rasterizer_impl.cu:280-288) — round 4
+        learned the hard way that guessing caps from a previous run's
+        trajectory silently clips millions of pairs at iter 50.
+        Returns the updated config (also installed on self)."""
+        from eogs2_tpu.ops.binning import grid_dims
+        from eogs2_tpu.ops.projection import (
+            compute_cov2d_direct, preprocess_gaussians)
+
+        p = self.state.params
+        scaling = jnp.exp(p.scaling)
+        opacity = jax.nn.sigmoid(p.opacity[:, 0])
+        alive = self.state.aux.alive
+        views = self.scene.train_views
+        if sample_views:
+            views = views[:sample_views]
+        max_tile = 0
+        max_tiles_g = np.zeros((p.xyz.shape[0],), np.int64)
+        for v in views:
+            cam = v.camera
+            w, h = cam.width, cam.height
+            cov2d = compute_cov2d_direct(scaling, p.rotation, cam.affine,
+                                         w, h)
+            prep = preprocess_gaussians(p.xyz, None, opacity, cam.affine,
+                                        w, h, alive=alive, cov2d=cov2d)
+            gx, gy = grid_dims(w, h)
+            rmin = np.asarray(prep.rect_min)
+            rsz = np.asarray(prep.rect_size)
+            tiles = np.asarray(prep.tiles_touched)
+            max_tiles_g = np.maximum(max_tiles_g, tiles)
+            # densest tile via 2-D difference array + cumsum (O(N + T))
+            diff = np.zeros((gy + 1, gx + 1), np.int64)
+            x0 = np.clip(rmin[:, 0], 0, gx)
+            y0 = np.clip(rmin[:, 1], 0, gy)
+            x1 = np.clip(rmin[:, 0] + rsz[:, 0], 0, gx)
+            y1 = np.clip(rmin[:, 1] + rsz[:, 1], 0, gy)
+            ok = tiles > 0
+            np.add.at(diff, (y0[ok], x0[ok]), 1)
+            np.add.at(diff, (y0[ok], x1[ok]), -1)
+            np.add.at(diff, (y1[ok], x0[ok]), -1)
+            np.add.at(diff, (y1[ok], x1[ok]), 1)
+            counts = diff.cumsum(0).cumsum(1)[:gy, :gx]
+            max_tile = max(max_tile, int(counts.max()))
+
+        def up(x, lo):
+            c = lo
+            while c < x:
+                c <<= 1
+            return c
+
+        srt = np.sort(max_tiles_g)[::-1]
+        big_k = min(big_k, len(srt))
+        # bulk tcap covers the widest splat OUTSIDE the big tier (with
+        # headroom so early-training growth doesn't immediately clip)
+        tcap = up(int(np.ceil(srt[big_k] * slack)) if big_k < len(srt)
+                  else int(srt[-1]), 4)
+        big_tcap = up(int(np.ceil(srt[0] * slack)), 16)
+        kcap = up(int(np.ceil(max_tile * slack)), 128)
+        self.raster_cfg = dataclasses.replace(
+            self.raster_cfg, tile_capacity=kcap,
+            max_tiles_per_gaussian=tcap, big_k=big_k, big_tcap=big_tcap,
+        )
+        self._steps = {}
+        print(f"probed capacities: K={kcap} (densest tile {max_tile}), "
+              f"tcap={tcap} (p_big {int(srt[big_k]) if big_k < len(srt) else 0}), "
+              f"big=({big_k},{big_tcap}) (max splat {int(srt[0])} tiles)")
+        return self.raster_cfg
+
     def prewarm_bucket_ladder(self, iteration: int = 1, steps_up: int = 1):
         """AOT-compile the train step at the next `steps_up` capacity
         buckets into the persistent compile cache (VERDICT r3 item 5 /

@@ -58,18 +58,19 @@ print(f"scene: {len(scene.train_views)} train views, "
 
 cfg = (baseogs if RECIPE == "baseogs" else eogsplus)(d, iterations=ITERS)
 cfg.logging.tb_log_interval = 100
-# Two-tier emission (round 4): the round-3 run measured the auto-rebucketer
-# growing tcap 4->8->16->32 in the first 150 iters because a HANDFUL of
-# outlier splats set the single-tier max — 32M sort rows for ~2-3M real
-# pairs plus a fresh ~8-min remote compile per grow. The big-splat tier
-# absorbs those outliers (top-4096 widest at 64 rows each), so the bulk
-# table stays at tcap=8 and capacities can be frozen WITHOUT clipping;
-# the run validates that post-hoc (clipped_pairs must stay 0).
+# Two-tier emission + PROBED capacities (round 4): guessing frozen caps
+# from a previous run's trajectory clipped 2.8M pairs at iteration 50
+# (the recorded eogsplus-1500 run); probe_capacities sizes tcap/big/K from
+# the INIT state's actual tiles_touched histograms (preprocess only, no
+# big compiles). auto_rebucket stays ON so mid-run growth (densification
+# splats) rebuckets loudly instead of clipping silently; with the probe,
+# grows should be rare.
 rcfg = RasterizeConfig(tile_capacity=4096, tile_chunk=128,
                        max_tiles_per_gaussian=8, binning_mode="fused",
                        early_exit=False, big_k=4096, big_tcap=64)
 tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg,
-             auto_rebucket=False).setup()
+             auto_rebucket=True).setup()
+tr.probe_capacities(big_k=4096)
 mc = MaeComputer.from_synthetic(d, scale=SCALE, resolution=RES)
 
 maes = []

@@ -561,3 +561,26 @@ def test_prewarm_bucket_ladder(scene_dir):
     assert tr.raster_cfg == rc0
     tr.train(progress=False)
     assert np.isfinite(tr.metrics_history[-1]["loss"])
+
+
+def test_probe_capacities(scene_dir):
+    """probe_capacities sizes caps from the init state's preprocess so a
+    frozen-caps run starts with zero clipped pairs (the round-4 lesson:
+    guessed caps clipped 2.8M pairs at iter 50 at reference scale)."""
+    from eogs2_tpu.rasterizer import RasterizeConfig
+
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=20)
+    cfg.logging.tb_log_interval = 10
+    tiny = RasterizeConfig(tile_capacity=128, tile_chunk=8,
+                           max_tiles_per_gaussian=4, binning_mode="fused")
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=tiny,
+                 auto_rebucket=False).setup()
+    rc = tr.probe_capacities(big_k=8)
+    assert rc.max_tiles_per_gaussian >= 4
+    assert rc.big_k == 8
+    tr.train(progress=False)
+    clipped = [float(np.max(np.asarray(m["clipped_pairs"])))
+               for m in tr.metrics_history]
+    assert max(clipped) == 0, clipped
