@@ -552,7 +552,7 @@ def _fwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, out_ref, scratch,
     n_chunks = jax.lax.div(shift + cnt + (k_chunk - 1), k_chunk)
 
     def body(carry):
-        c, acc_pc, carry_t, tl_pc, nlive = carry
+        c, acc, carry_t, t_live, nlive = carry
         blk = scratch[slot, :, pl.ds(c * k_chunk, k_chunk)]  # [NF, Kc]
         alpha, _, _, _, feat = _chunk_fields_col(
             blk, c, k_chunk, shift, shift + cnt, basis_t, ox, oy
@@ -563,15 +563,19 @@ def _fwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, out_ref, scratch,
         cp = carry_t * p_incl
         live = cp >= T_EPS
         w = jnp.where(live, alpha * t_before, 0.0)  # [P, Kc]
-        # DEFERRED accumulation (round 4): keep per-lane [P, Kc] partial
-        # sums and reduce across lanes ONCE after the loop. The previous
-        # per-chunk lane-reductions (5 features + t_live ~ 6 x log2(Kc)
-        # shuffle steps) were the single largest op block in the chunk
-        # body; the deferral replaces them with 5 FMAs + 1 min per chunk.
-        acc_pc = tuple(
-            a + w * feat[_j:_j + 1, :] for _j, a in enumerate(acc_pc)
-        )
-        tl_pc = jnp.minimum(tl_pc, jnp.where(live, cp, 1.0))  # [P, Kc]
+        # per-chunk lane reductions: MEASURED cheaper than carrying
+        # deferred [P, Kc] accumulators across chunks (round 4 A/B on
+        # chip: the deferral regressed the fwd kernel 31.7 -> 42.0 ms at
+        # scale — six extra [P,Kc] read-modify-writes per chunk cost more
+        # than Mosaic's lane reductions)
+        acc = acc + jnp.concatenate(
+            [jnp.sum(w * feat[_j:_j + 1, :], axis=1, keepdims=True)
+             for _j in range(5)],
+            axis=1,
+        )  # [P, 5]
+        t_live = jnp.minimum(
+            t_live, jnp.min(jnp.where(live, cp, 1.0), axis=1, keepdims=True)
+        )  # [P, 1]
         # n_contrib chunks (CUDA forward.cu:371-377 n_contrib analog, at
         # chunk granularity): the first chunk after which EVERY pixel's T
         # fell below T_EPS. A pure dataflow min — no scalar sync — that
@@ -582,28 +586,22 @@ def _fwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, out_ref, scratch,
             nlive,
             jnp.where(dead, (c + 1).astype(jnp.float32), nlive),
         )
-        return c + 1, acc_pc, cp[:, -1:], tl_pc, nlive
+        return c + 1, acc, cp[:, -1:], t_live, nlive
 
     big_f = jnp.float32(1e9)
-    init = (jnp.int32(0),
-            tuple(jnp.zeros((P, k_chunk), jnp.float32) for _ in range(5)),
-            jnp.ones((P, 1), jnp.float32),
-            jnp.ones((P, k_chunk), jnp.float32),
+    init = (jnp.int32(0), jnp.zeros((P, 5), jnp.float32),
+            jnp.ones((P, 1), jnp.float32), jnp.ones((P, 1), jnp.float32),
             big_f)
     if early_exit:
         def cond(carry):
             c, _, carry_t, _, _ = carry
             return (c < n_chunks) & (jnp.max(carry_t) >= T_EPS)
 
-        _, acc_pc, _, tl_pc, nlive = jax.lax.while_loop(cond, body, init)
+        _, acc, _, t_live, nlive = jax.lax.while_loop(cond, body, init)
     else:
-        _, acc_pc, _, tl_pc, nlive = jax.lax.fori_loop(
+        _, acc, _, t_live, nlive = jax.lax.fori_loop(
             0, n_chunks, lambda i, carry: body(carry), init
         )
-    acc = jnp.concatenate(
-        [jnp.sum(a, axis=1, keepdims=True) for a in acc_pc], axis=1
-    )  # [P, 5]
-    t_live = jnp.min(tl_pc, axis=1, keepdims=True)  # [P, 1]
     nlive = jnp.minimum(nlive, n_chunks.astype(jnp.float32))
     out_ref[0] = jnp.concatenate(
         [acc, t_live, jnp.full((P, 1), 1.0, jnp.float32) * nlive,
@@ -672,13 +670,16 @@ def _bwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref,
         g_alpha = jnp.where(live & keep, g_alpha, 0.0)  # [P, Kc]
 
         gG = g_alpha * (op * g)
-        # S[6,Kc] = basis_t^T @ gG on the MXU (Precision.HIGHEST 6-pass,
-        # f32-accurate — the same unit/precision the wide kernel uses).
-        # Round 4: this replaces 6 per-chunk SUBLANE reductions (each
-        # ~log2(P) shuffle steps on the VPU) with one 147-cycle matmul.
-        S = jax.lax.dot_general(
-            basis_t, gG, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
+        # S[6,Kc] rows = sublane-reductions of gG against the basis
+        # columns (row 0 of the basis is all-ones). An MXU dot_general
+        # (HIGHEST 6-pass) was A/B'd on chip in round 4 and measured
+        # NEUTRAL-to-worse (52.5 vs 51.3 ms bwd kernel at scale); the
+        # VPU sublane reductions stay.
+        S = jnp.concatenate(
+            [jnp.sum(gG, axis=0, keepdims=True)]
+            + [jnp.sum(gG * basis_t[:, _j:_j + 1], axis=0, keepdims=True)
+               for _j in range(1, 6)],
+            axis=0,
         )  # [6, Kc]
         s0, sx, sy = S[0:1, :], S[1:2, :], S[2:3, :]
         sxx, syy, sxy = S[3:4, :], S[4:5, :], S[5:6, :]
@@ -693,10 +694,10 @@ def _bwd_kernel_col(meta_ref, tstart_ref, cnt_ref, pay_hbm, gout_ref,
         g_cb = -gdxy
         g_cc = -0.5 * gdyy
         g_opac = jnp.where(op > 0.0, s0 / jnp.where(op > 0.0, op, 1.0), 0.0)
-        # g_feat[5,Kc] = g_pix^T @ w on the MXU (see S above)
-        g_feat = jax.lax.dot_general(
-            g_pix, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
+        g_feat = jnp.concatenate(
+            [jnp.sum(w * g_pix[:, _j:_j + 1], axis=0, keepdims=True)
+             for _j in range(5)],
+            axis=0,
         )  # [5, Kc]
         gchunk = jnp.concatenate(
             [g_mx, g_my, g_ca, g_cb, g_cc, g_opac, g_feat,
