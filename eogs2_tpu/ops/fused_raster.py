@@ -901,6 +901,16 @@ def _emission_tabs(prep, width, height, tcap, big_k, big_tcap):
         clipped = jnp.sum(jnp.maximum(tiles - tcap, 0))
         return (tile_tab, depth_tab, jnp.zeros((0,), jnp.float32), n_tiles,
                 clipped, mx, mx)
+    # big_i rides the custom_vjp as f32 (nondiff int operands would split
+    # the vjp signature); the f32 round-trip is exact only below 2^24, so
+    # refuse loudly instead of silently corrupting the big-tier gather at
+    # >16.7M gaussians per chip (ADVICE r4).
+    if n >= 1 << 24:
+        raise ValueError(
+            f"two-tier emission carries big-splat indices as float32, "
+            f"exact only for N < 2^24; got N={n}. Shard the gaussians "
+            f"(parallel.sharded_raster) or disable big_k."
+        )
     big_tiles, big_i = jax.lax.top_k(tiles, big_k)
     is_big = jnp.zeros((n,), jnp.bool_).at[big_i].set(True)
     bulk_tiles = jnp.where(is_big, 0, tiles)

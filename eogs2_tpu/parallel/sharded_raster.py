@@ -377,11 +377,20 @@ def rasterize_a2a(
         k_chunk=k_chunk, axis=axis, mean2d_ndc_offset=mean2d_ndc_offset,
         col=config.payload_col,
     )
+    # shard_fn computes mean2d_ndc with the PADDED canvas height hp, but
+    # the single-chip contract (rasterizer.py mean2d_ndc) uses the true
+    # image height; undo the y attenuation whenever height % row_q != 0
+    # (ADVICE r4).
+    mean2d_ndc = out["mean2d_ndc"]
+    if hp != height:
+        mean2d_ndc = mean2d_ndc * jnp.array(
+            [1.0, hp / height], mean2d_ndc.dtype
+        )
     return RasterOut(
         image=out["image"][:, :height, :width],
         final_t=out["final_t"][:height, :width],
         radii=out["radii"],
-        mean2d_ndc=out["mean2d_ndc"],
+        mean2d_ndc=mean2d_ndc,
         num_pairs=jnp.sum(out["pairs_per_chip"]),
         max_tile_count=out["max_tile_count"],
         max_tiles_per_gaussian_seen=out["max_tiles_per_gaussian_seen"],

@@ -1196,7 +1196,12 @@ class Trainer:
                     bmx = float(
                         np.max(np.asarray(metrics.get("big_max_tiles", 0.0)))
                     )
-                    if bmx > rc.big_tcap:
+                    # proactive 0.95 headroom (ADVICE r4): reactive growth
+                    # (bmx > cap) only fires after pairs were already
+                    # clipped with zero gradients for up to a 50-iteration
+                    # check interval; grow BEFORE the outliers hit the cap,
+                    # same trigger shape as tile_capacity above.
+                    if bmx >= 0.95 * rc.big_tcap:
                         grew = dataclasses.replace(
                             grew or rc,
                             big_tcap=_next_bucket(rc.big_tcap, lo=16),
