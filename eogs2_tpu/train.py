@@ -825,17 +825,21 @@ class Trainer:
             )
         return self._steps[phase]
 
-    def probe_capacities(self, big_k: int = 4096, slack: float = 1.5,
+    def probe_capacities(self, big_k: int = 0, slack: float = 1.2,
                          sample_views: int = 0) -> "RasterizeConfig":
         """Size the rasterizer capacities from the CURRENT state's
         preprocess — no rasterization, no big compiles (preprocess is a
-        few ms): per-camera tiles_touched histograms pick the bulk tcap
-        (smallest pow2 whose overflow population fits the big tier), the
-        big tier cap (max splat), and tile_capacity (densest tile via a
-        2-D difference-array rect count). The frozen-caps analog of the
-        CUDA dynamic buffer resize (rasterizer_impl.cu:280-288) — round 4
-        learned the hard way that guessing caps from a previous run's
-        trajectory silently clips millions of pairs at iter 50.
+        few ms): per-camera tiles_touched histograms pick the JOINT
+        (tcap, big_k, big_tcap) minimizing total emission-table rows
+        (N*tcap + big_k*big_tcap) with zero clipping, and tile_capacity
+        (densest tile via a 2-D difference-array rect count). The
+        frozen-caps analog of the CUDA dynamic buffer resize
+        (rasterizer_impl.cu:280-288) — round 4 learned the hard way that
+        guessing caps from a previous run's trajectory silently clips
+        millions of pairs at iter 50, and a FIXED big_k guess fails the
+        other way: a dense init (mean ~13 tiles/splat at reference scale)
+        pushes bulk tcap to 64 and the 86M-row table out of HBM. big_k=0
+        (default) searches; a nonzero value pins the big tier size.
         Returns the updated config (also installed on self)."""
         from eogs2_tpu.ops.binning import grid_dims
         from eogs2_tpu.ops.projection import (
@@ -882,22 +886,51 @@ class Trainer:
                 c <<= 1
             return c
 
+        def upm(x, m):
+            return max(m, ((int(x) + m - 1) // m) * m)
+
         srt = np.sort(max_tiles_g)[::-1]
-        big_k = min(big_k, len(srt))
-        # bulk tcap covers the widest splat OUTSIDE the big tier (with
-        # headroom so early-training growth doesn't immediately clip)
-        tcap = up(int(np.ceil(srt[big_k] * slack)) if big_k < len(srt)
-                  else int(srt[-1]), 4)
-        big_tcap = up(int(np.ceil(srt[0] * slack)), 16)
-        kcap = up(int(np.ceil(max_tile * slack)), 128)
+        n = len(srt)
+        # big_tcap: widest splat anywhere, multiple of 16 (not pow2 — at
+        # 131k big-tier rows the pow2 jump 80->128 alone costs 6M table
+        # rows); rebucket growth still doubles from here.
+        big_tcap = upm(np.ceil(srt[0] * slack), 16)
+        if big_k:
+            big_k = min(big_k, n)
+            tcap = up(int(np.ceil(srt[big_k] * slack)) if big_k < n
+                      else int(srt[-1]), 4)
+        else:
+            # joint search: for each candidate bulk tcap, the big tier
+            # must hold every splat that would overflow it (count with
+            # slack applied, so early-training growth has headroom);
+            # minimize total emission rows = sort cost, the dominant
+            # stage (DESIGN section 10).
+            best = None
+            for tc in (4, 8, 12, 16, 24, 32, 48, 64, 96, 128):
+                if tc >= big_tcap:
+                    k_need = 0
+                else:
+                    k_need = int(np.searchsorted(
+                        -np.ceil(srt * slack), -tc, side="left"
+                    ))
+                bk = 0 if k_need == 0 else min(up(k_need, 1024), n)
+                rows = n * tc + bk * (big_tcap if bk else 0)
+                if best is None or rows < best[0]:
+                    best = (rows, tc, bk)
+            _, tcap, big_k = best
+            if not big_k:
+                big_tcap = 0
+        kcap = upm(np.ceil(max_tile * slack), 512)
         self.raster_cfg = dataclasses.replace(
             self.raster_cfg, tile_capacity=kcap,
             max_tiles_per_gaussian=tcap, big_k=big_k, big_tcap=big_tcap,
         )
         self._steps = {}
+        rows = n * tcap + big_k * big_tcap
         print(f"probed capacities: K={kcap} (densest tile {max_tile}), "
-              f"tcap={tcap} (p_big {int(srt[big_k]) if big_k < len(srt) else 0}), "
-              f"big=({big_k},{big_tcap}) (max splat {int(srt[0])} tiles)")
+              f"tcap={tcap}, big=({big_k},{big_tcap}) "
+              f"(max splat {int(srt[0])} tiles, emission rows "
+              f"{rows / 1e6:.1f}M)")
         return self.raster_cfg
 
     def prewarm_bucket_ladder(self, iteration: int = 1, steps_up: int = 1):

@@ -70,7 +70,7 @@ rcfg = RasterizeConfig(tile_capacity=4096, tile_chunk=128,
                        early_exit=False, big_k=4096, big_tcap=64)
 tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg,
              auto_rebucket=True).setup()
-tr.probe_capacities(big_k=4096)
+tr.probe_capacities()
 mc = MaeComputer.from_synthetic(d, scale=SCALE, resolution=RES)
 
 maes = []

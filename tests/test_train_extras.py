@@ -584,3 +584,32 @@ def test_probe_capacities(scene_dir):
     clipped = [float(np.max(np.asarray(m["clipped_pairs"])))
                for m in tr.metrics_history]
     assert max(clipped) == 0, clipped
+
+
+def test_probe_capacities_joint_search(scene_dir):
+    """Default big_k=0 searches the (tcap, big_k, big_tcap) space for the
+    min-row table (round-5 lesson: a FIXED big_k=4096 at a dense
+    reference-scale init forced bulk tcap=64 and an 86M-row table out of
+    HBM). Zero clipping must hold, and the searched table must be no
+    larger than the one a pinned big tier would have picked."""
+    from eogs2_tpu.rasterizer import RasterizeConfig
+
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=20)
+    cfg.logging.tb_log_interval = 10
+    tiny = RasterizeConfig(tile_capacity=128, tile_chunk=8,
+                           max_tiles_per_gaussian=4, binning_mode="fused")
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=tiny,
+                 auto_rebucket=False).setup()
+    n = tr.state.params.xyz.shape[0]
+    rc = tr.probe_capacities()
+    rows = n * rc.max_tiles_per_gaussian + rc.big_k * rc.big_tcap
+    rc_pin = tr.probe_capacities(big_k=8)
+    rows_pin = n * rc_pin.max_tiles_per_gaussian + rc_pin.big_k * rc_pin.big_tcap
+    assert rows <= rows_pin, (rows, rows_pin)
+    tr.probe_capacities()  # restore the searched config
+    tr.train(progress=False)
+    clipped = [float(np.max(np.asarray(m["clipped_pairs"])))
+               for m in tr.metrics_history]
+    assert max(clipped) == 0, clipped

@@ -59,3 +59,39 @@ def test_tsdf_recovers_heightfield(tmp_path):
     # building discontinuities; median should be tight
     assert np.median(err) < 0.3
     assert mae < 0.8
+
+
+def test_tsdf_slab_chunking_exact(tmp_path):
+    """Slab-chunked integration (VERDICT r4 #5: O(slab) peak memory at
+    reference scene scale) is EXACT vs a single full-volume slab."""
+    from eogs2_tpu.eval.tsdf import TSDFVolume, TsdfViews
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(5)
+    alt_range = (-0.35, 0.35)
+    z, tex = _heightfield(64, 3, rng, alt_range)
+    sun_dir = np.array([0.3, 0.2, 0.9])
+    coefs, inters, alts = [], [], []
+    for shear in [(0.0, 0.0), (0.2, 0.0), (-0.1, 0.2)]:
+        A = make_affine(shear, 48, 48, alt_range)
+        _, surf_alt = _render_view(z, tex, A, sun_dir, 48, 48,
+                                   alt_range=alt_range, n_steps=64)
+        coefs.append(A[:, :3])
+        inters.append(A[:, 3])
+        alts.append(surf_alt)
+    views = TsdfViews(
+        coefs=jnp.asarray(np.stack(coefs), jnp.float32),
+        inters=jnp.asarray(np.stack(inters), jnp.float32),
+        altitudes=jnp.asarray(np.stack(alts), jnp.float32),
+    )
+    vb = np.stack([np.array([-0.85, -0.85, alt_range[0]]) * SCALE,
+                   np.array([0.85, 0.85, alt_range[1]]) * SCALE], axis=1)
+    outs = []
+    for slab in (1 << 30, 1000):  # one giant slab vs many ragged slabs
+        vol = TSDFVolume(vb, 0.25, 4.0, slab_voxels=slab)
+        assert (vol.world_coords.shape[0] > 3 * 1000) or slab == 1 << 30
+        vol.integrate_views(views, SCALE)
+        vol.apply_prior()
+        outs.append((np.asarray(vol.tsdf), np.asarray(vol.weight)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
