@@ -56,6 +56,8 @@ from eogs2_tpu.ops.blend import ALPHA_EPS, ALPHA_MAX, T_EPS
 from eogs2_tpu.ops.pair_pipeline import (
     _emission_keys,
     _tier_keys,
+    _tier_keys_compact,
+    cull_tau,
     emission_broadcast,
     emission_reduce,
 )
@@ -865,9 +867,13 @@ class FusedOut(NamedTuple):
     bulk_max_tiles: jnp.ndarray = None
     # [] widest gaussian overall (what big_tcap must cover)
     big_max_tiles: jnp.ndarray = None
+    # [] widest NON-big AABB rect in tiles (what rect_cap must cover when
+    # compacting slots; equals bulk_max_tiles otherwise)
+    bulk_rect_max_tiles: jnp.ndarray = None
 
 
-def _emission_tabs(prep, width, height, tcap, big_k, big_tcap):
+def _emission_tabs(prep, width, height, tcap, big_k, big_tcap,
+                   tile_cull=False, rect_cap=0):
     """Two-tier emission tables.
 
     The dense single-tier [tcap, N] emission sizes EVERY gaussian's row
@@ -883,24 +889,54 @@ def _emission_tabs(prep, width, height, tcap, big_k, big_tcap):
     the same sort, so sort rows are N*tcap + big_k*big_tcap instead of
     N*max_tiles.
 
+    tile_cull (round 5): slots whose tile is provably below the 1/255
+    alpha threshold for every pixel (exact box minimum of the Mahalanobis
+    quadratic, pair_pipeline._slot_cull_mask) emit sentinels — output-
+    exact vs the kernels' own skip test, fewer live pairs per tile.
+    rect_cap > tcap additionally COMPACTS the bulk tier: up to rect_cap
+    AABB positions are enumerated and the surviving tiles packed into the
+    first tcap slots, so tcap is sized by active tiles (post-cull) while
+    rect_cap covers the AABB — at an anisotropic reference-scale init the
+    active count is ~2x smaller than the rect count, and sort rows shrink
+    with it. The big tier stays rect-enumerated (its 80+ slot heights
+    make the rank-select pass quadratic in big_tcap).
+
     Returns (tile_tab, depth_tab, big_idx_f32, n_tiles, clipped, bulk_max,
-    big_max): clipped counts emission rows dropped by either tier's cap,
-    bulk_max is the widest non-big splat (must stay <= tcap for zero bulk
-    clipping), big_max the widest overall (vs big_tcap).
+    big_max, bulk_rect_max): clipped counts emission rows dropped by
+    either tier's cap, bulk_max is the widest non-big splat in the units
+    tcap must cover (ACTIVE tiles when compacting, rect tiles otherwise),
+    big_max the widest overall (rect tiles, vs big_tcap), bulk_rect_max
+    the widest non-big AABB (vs rect_cap when compacting).
     """
     grid_x, grid_y = grid_dims(width, height)
     n_tiles = grid_x * grid_y
     n = prep.depth.shape[0]
     tiles = prep.tiles_touched
+    cull = None
+    if tile_cull:
+        cull = (prep.mean2d, prep.conic, cull_tau(prep.opacity))
+    rcap = max(rect_cap, tcap)
+    compact = rcap > tcap
+
+    def bulk_keys(rmin, rsz, depth, tl, cl):
+        if compact:
+            return _tier_keys_compact(rmin, rsz, depth, tl, tcap, rcap,
+                                      grid_x, n_tiles, cl)
+        return _tier_keys(rmin, rsz, depth, tl, tcap, grid_x, n_tiles,
+                          cull=cl)
+
     if not big_k:
-        tile_tab, depth_tab = _tier_keys(
-            prep.rect_min, prep.rect_size, prep.depth, tiles, tcap,
-            grid_x, n_tiles,
+        tile_tab, depth_tab, active = bulk_keys(
+            prep.rect_min, prep.rect_size, prep.depth, tiles, cull,
         )
         mx = jnp.max(tiles)
-        clipped = jnp.sum(jnp.maximum(tiles - tcap, 0))
+        demand = active if (compact or tile_cull) else tiles
+        clipped = jnp.sum(jnp.maximum(demand - tcap, 0))
+        if compact:
+            clipped = clipped + jnp.sum(jnp.maximum(tiles - rcap, 0))
+        bulk_max = jnp.max(demand)
         return (tile_tab, depth_tab, jnp.zeros((0,), jnp.float32), n_tiles,
-                clipped, mx, mx)
+                clipped, bulk_max, mx, mx)
     # big_i rides the custom_vjp as f32 (nondiff int operands would split
     # the vjp signature); the f32 round-trip is exact only below 2^24, so
     # refuse loudly instead of silently corrupting the big-tier gather at
@@ -914,20 +950,27 @@ def _emission_tabs(prep, width, height, tcap, big_k, big_tcap):
     big_tiles, big_i = jax.lax.top_k(tiles, big_k)
     is_big = jnp.zeros((n,), jnp.bool_).at[big_i].set(True)
     bulk_tiles = jnp.where(is_big, 0, tiles)
-    b_tile, b_depth = _tier_keys(
-        prep.rect_min, prep.rect_size, prep.depth, bulk_tiles, tcap,
-        grid_x, n_tiles,
+    big_cull = None
+    if tile_cull:
+        big_cull = (prep.mean2d[big_i], prep.conic[big_i],
+                    cull_tau(prep.opacity[big_i]))
+    b_tile, b_depth, b_active = bulk_keys(
+        prep.rect_min, prep.rect_size, prep.depth, bulk_tiles, cull,
     )
-    g_tile, g_depth = _tier_keys(
+    g_tile, g_depth, _ = _tier_keys(
         prep.rect_min[big_i], prep.rect_size[big_i], prep.depth[big_i],
-        big_tiles, big_tcap, grid_x, n_tiles,
+        big_tiles, big_tcap, grid_x, n_tiles, cull=big_cull,
     )
     tile_tab = jnp.concatenate([b_tile, g_tile])
     depth_tab = jnp.concatenate([b_depth, g_depth])
-    clipped = (jnp.sum(jnp.maximum(bulk_tiles - tcap, 0))
+    bulk_demand = b_active if (compact or tile_cull) else bulk_tiles
+    clipped = (jnp.sum(jnp.maximum(bulk_demand - tcap, 0))
                + jnp.sum(jnp.maximum(big_tiles - big_tcap, 0)))
+    if compact:
+        clipped = clipped + jnp.sum(jnp.maximum(bulk_tiles - rcap, 0))
     return (tile_tab, depth_tab, big_i.astype(jnp.float32), n_tiles,
-            clipped, jnp.max(bulk_tiles), jnp.max(tiles))
+            clipped, jnp.max(bulk_demand), jnp.max(tiles),
+            jnp.max(bulk_tiles))
 
 
 @functools.partial(
@@ -1143,6 +1186,8 @@ def rasterize_fused(
     big_k: int = 0,
     big_tcap: int = 64,
     eogs_features: bool = False,
+    tile_cull: bool = False,
+    rect_cap: int = 0,
 ):
     """Differentiable fused path. Returns FusedOut (out8 pre-background).
 
@@ -1165,8 +1210,9 @@ def rasterize_fused(
             depth=jax.lax.stop_gradient(-features[:, 3])
         )
     (tile_tab, depth_tab, big_idx, n_tiles, clipped, bulk_max,
-     big_max) = _emission_tabs(
+     big_max, bulk_rect_max) = _emission_tabs(
         prep_keys, width, height, tcap, big_k, big_tcap,
+        tile_cull=tile_cull, rect_cap=rect_cap,
     )
     pay_cols = (
         prep.mean2d[:, 0], prep.mean2d[:, 1],
@@ -1179,7 +1225,11 @@ def rasterize_fused(
         (tcap, big_k, big_tcap), k_chunk, interpret, early_exit, col,
         eogs,
     )
-    num_pairs = jnp.sum(prep.tiles_touched)
+    # demand: rect tiles without culling; with culling the demand is the
+    # LIVE pair count (emitted valid keys, already counted by _fused_fwd)
+    # plus whatever the caps clipped — dead tiles are not demand.
+    num_pairs = (out.num_pairs + clipped if tile_cull
+                 else jnp.sum(prep.tiles_touched))
     # tile_capacity clips pairs beyond k_cap in a tile (kernel windows walk
     # min(cnt, k_cap)); count them into the same loud-overflow metric
     tile_clipped = jnp.sum(
@@ -1190,4 +1240,5 @@ def rasterize_fused(
         clipped_pairs=clipped + tile_clipped,
         bulk_max_tiles=bulk_max,
         big_max_tiles=big_max,
+        bulk_rect_max_tiles=bulk_rect_max,
     )

@@ -47,7 +47,72 @@ class PairDense(NamedTuple):
     max_tile_count: jnp.ndarray  # []
 
 
-def _tier_keys(rect_min, rect_size, depth, tiles, tcap, grid_x, n_tiles):
+def _tile_qmin(a, b, c, lx, ux, ly, uy):
+    """Exact min over the box dx in [lx,ux], dy in [ly,uy] of the
+    Mahalanobis quadratic q(d) = a dx^2 + 2 b dx dy + c dy^2 (the blend's
+    power is -q/2, blend.py:60-64).
+
+    For the PSD conic this is exact (interior -> 0, else the min sits at
+    a clamped per-edge critical point); the 4 corners are included so a
+    numerically indefinite conic still yields an UNDER-estimate — the
+    cull built on this can only ever be conservative."""
+    inside = (lx <= 0) & (0 <= ux) & (ly <= 0) & (0 <= uy)
+
+    def q(dx, dy):
+        return a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
+
+    def edge_x(e):  # dx fixed at e, minimize over dy
+        t = jnp.clip(-b * e / jnp.where(c > 0, c, 1e-12), ly, uy)
+        return q(e, t)
+
+    def edge_y(e):  # dy fixed at e, minimize over dx
+        t = jnp.clip(-b * e / jnp.where(a > 0, a, 1e-12), lx, ux)
+        return q(t, e)
+
+    qm = jnp.minimum(
+        jnp.minimum(jnp.minimum(edge_x(lx), edge_x(ux)),
+                    jnp.minimum(edge_y(ly), edge_y(uy))),
+        jnp.minimum(jnp.minimum(q(lx, ly), q(lx, uy)),
+                    jnp.minimum(q(ux, ly), q(ux, uy))),
+    )
+    return jnp.where(inside, 0.0, qm)
+
+
+# conservative slack on the cull threshold, covering f32 rounding drift
+# between the closed-form box minimum here and the kernels' per-pixel
+# exp/compare path (both are ~1-ulp; 1e-3 in q units is ~5e7 ulps at the
+# thresholds involved)
+_CULL_MARGIN = 1e-3
+
+
+def _slot_cull_mask(rect_min, tx, ty, cull):
+    """[slots, M] True where the slot's TILE is provably dead: every pixel
+    of the tile has alpha < 1/255 or power > 0, the exact CUDA skip pair
+    (forward.cu + backward.cu apply the same test), so dropping the pair
+    at emission is output-exact for the image AND all gradients."""
+    from eogs2_tpu.ops.projection import TILE
+
+    mean2d, conic, tau = cull
+    x0 = (rect_min[:, 0][None, :] + tx).astype(jnp.float32) * TILE
+    y0 = (rect_min[:, 1][None, :] + ty).astype(jnp.float32) * TILE
+    mx, my = mean2d[:, 0][None, :], mean2d[:, 1][None, :]
+    qmin = _tile_qmin(
+        conic[:, 0][None, :], conic[:, 1][None, :], conic[:, 2][None, :],
+        mx - (x0 + TILE - 1.0), mx - x0,
+        my - (y0 + TILE - 1.0), my - y0,
+    )
+    dead = qmin > tau[None, :] + _CULL_MARGIN
+    return jnp.where(jnp.isfinite(qmin), dead, False)
+
+
+def cull_tau(opacity):
+    """Per-gaussian cull threshold: alpha = opac*exp(-q/2) >= 1/255
+    iff q <= 2 ln(255*opac)."""
+    return 2.0 * jnp.log(jnp.maximum(opacity, 1e-30) * 255.0)
+
+
+def _tier_keys(rect_min, rect_size, depth, tiles, tcap, grid_x, n_tiles,
+               cull=None):
     """(tile, depth) sort keys for ONE [tcap, M] emission tier (tcap-major).
 
     Emission order is tcap-MAJOR (copy j of every gaussian, then copy j+1):
@@ -74,17 +139,69 @@ def _tier_keys(rect_min, rect_size, depth, tiles, tcap, grid_x, n_tiles):
         rect_min[:, 0][None, :] + tx
     )
     valid = t < tiles[None, :]
+    if cull is not None:
+        # ellipse-exact tile cull (round 5): slots whose tile is provably
+        # below the CUDA 1/255 alpha threshold for EVERY pixel emit a
+        # sentinel key — the kernels would have skipped every pair-pixel
+        # slot anyway (blend.py keep test), so the output is exact while
+        # n_live per tile shrinks by the dead-corner fraction of the AABB
+        # rect (the anisotropy win the CUDA reference leaves on the
+        # table: forward.cu walks every rect tile's range).
+        valid = valid & ~_slot_cull_mask(rect_min, tx, ty, cull)
     # float32 keys: tile ids are far below 2^24, exact in f32
     tile_tab = jnp.where(valid, tile_id, n_tiles).reshape(-1).astype(jnp.float32)
     depth_tab = jnp.broadcast_to(depth[None, :], (tcap, n)).reshape(-1)
-    return tile_tab, depth_tab
+    active = jnp.sum(valid.astype(jnp.int32), axis=0)
+    return tile_tab, depth_tab, active
+
+
+def _tier_keys_compact(rect_min, rect_size, depth, tiles, tcap, rcap,
+                       grid_x, n_tiles, cull):
+    """Compacting variant of _tier_keys: enumerate up to `rcap` rect
+    positions, drop culled tiles, and pack the surviving (active) tiles
+    into the first slots — so the emission table height `tcap` is sized by
+    ACTIVE tiles per gaussian instead of AABB rect tiles. The pack is a
+    per-column masked selection (prefix-sum ranks + tcap masked reduces,
+    one fused pass over the [rcap, M] enumeration — no gather/scatter).
+
+    Returns (tile_tab [tcap*M] f32, depth_tab [tcap*M], active_count [M]).
+    Pair order within a gaussian stays rect row-major, so downstream sort
+    tie-breaking sees the same relative order as the uncompacted form."""
+    m = depth.shape[0]
+    r = jnp.arange(rcap, dtype=jnp.int32)[:, None]  # [rcap, 1]
+    rw = jnp.maximum(rect_size[:, 0], 1)[None, :]
+    ry = jnp.floor(
+        r.astype(jnp.float32) / rw.astype(jnp.float32)
+    ).astype(jnp.int32)
+    rx = r - ry * rw
+    tile_id = (rect_min[:, 1][None, :] + ry) * grid_x + (
+        rect_min[:, 0][None, :] + rx
+    )
+    active = r < jnp.minimum(tiles, rcap)[None, :]
+    if cull is not None:
+        active = active & ~_slot_cull_mask(rect_min, rx, ry, cull)
+    rank = jnp.cumsum(active.astype(jnp.int32), axis=0)  # [rcap, M]
+    active_count = rank[-1]
+    sel = []
+    for s in range(tcap):
+        hit = active & (rank == (s + 1))
+        sel.append(jnp.sum(jnp.where(hit, tile_id, 0), axis=0))
+    tile_sel = jnp.stack(sel)  # [tcap, M]
+    valid = jnp.arange(tcap, dtype=jnp.int32)[:, None] < jnp.minimum(
+        active_count, tcap
+    )[None, :]
+    tile_tab = jnp.where(valid, tile_sel, n_tiles).reshape(-1).astype(
+        jnp.float32
+    )
+    depth_tab = jnp.broadcast_to(depth[None, :], (tcap, m)).reshape(-1)
+    return tile_tab, depth_tab, active_count
 
 
 def _emission_keys(prep: Preprocessed, width, height, tcap):
     """Single-tier emission keys (see _tier_keys) for the [tcap, N] table."""
     grid_x, grid_y = grid_dims(width, height)
     n_tiles = grid_x * grid_y
-    tile_tab, depth_tab = _tier_keys(
+    tile_tab, depth_tab, _ = _tier_keys(
         prep.rect_min, prep.rect_size, prep.depth, prep.tiles_touched,
         tcap, grid_x, n_tiles,
     )

@@ -87,6 +87,21 @@ class RasterizeConfig:
     # gradient is returned as zeros (its cotangent is discarded upstream).
     # Safe ONLY for that layout; the trainer turns it on itself.
     eogs_features: bool = False
+    # fused kernels: ellipse-exact tile culling at emission. A slot whose
+    # tile provably has alpha < 1/255 (or power > 0) at EVERY pixel — the
+    # exact CUDA per-pixel skip (forward.cu / backward.cu) the blend
+    # kernels already replicate — emits a sentinel key instead of a pair.
+    # Output-exact (image and all gradients bit-identical); kills the
+    # dead-corner fraction of each AABB rect, which for anisotropic
+    # splats is most of it. The CUDA reference walks those tiles' ranges.
+    tile_cull: bool = False
+    # fused kernels: with tile_cull, additionally size the bulk emission
+    # tier by ACTIVE tiles: enumerate up to rect_cap AABB positions and
+    # rank-compact survivors into max_tiles_per_gaussian slots
+    # (pair_pipeline._tier_keys_compact). 0 disables (slots = AABB
+    # positions). rect_cap must cover the widest non-big AABB
+    # (bulk_rect_max_seen watches it).
+    rect_cap: int = 0
 
     def bucketed(self, max_tile: int, max_tiles_per_gaussian: int,
                  big_max_tiles: int = 0) -> "RasterizeConfig":
@@ -157,6 +172,9 @@ class RasterOut(NamedTuple):
     # render (vs config.dest_cap — the capacity that can overflow); None on
     # single-chip paths
     max_dest_count: jnp.ndarray = None
+    # [] widest non-big AABB rect (vs config.rect_cap when slot compaction
+    # is on; grow rect_cap past it). None unless the fused path ran.
+    bulk_rect_max_seen: jnp.ndarray = None
 
 
 @partial(jax.jit, static_argnames=("width", "height", "config"))
@@ -231,6 +249,8 @@ def rasterize(
             big_k=config.big_k,
             big_tcap=config.big_tcap,
             eogs_features=config.eogs_features,
+            tile_cull=config.tile_cull,
+            rect_cap=config.rect_cap,
         )
         out = fo.out8[:, :, :5] + fo.out8[:, :, 5:6] * bg[None, None, :]
         final_t = fo.out8[:, :, 5]
@@ -242,6 +262,7 @@ def rasterize(
             max_tiles_per_gaussian_seen=fo.bulk_max_tiles,
             clipped_pairs=fo.clipped_pairs,
             big_max_tiles_seen=fo.big_max_tiles,
+            bulk_rect_max_seen=fo.bulk_rect_max_tiles,
         )
 
     if config.binning_mode == "sorted":

@@ -449,6 +449,13 @@ def make_train_step(
                     if out.big_max_tiles_seen is not None
                     else jnp.int32(0)
                 ),
+                # widest non-big AABB rect (vs raster_cfg.rect_cap when
+                # slot compaction is on)
+                "bulk_rect_max": (
+                    out.bulk_rect_max_seen
+                    if out.bulk_rect_max_seen is not None
+                    else jnp.int32(0)
+                ),
                 **{k: v for k, v in terms.items()},
             }
             return total, (metrics, out.radii)
@@ -592,6 +599,62 @@ def _next_bucket(x: int, lo: int = 128) -> int:
     while c <= x:
         c <<= 1
     return c
+
+
+def _active_tiles_np(rmin, rsz, tiles, mean2d, conic, opacity, grid_x,
+                     chunk: int = 1 << 17):
+    """Per-gaussian count of ACTIVE rect tiles under the ellipse-exact
+    cull (numpy mirror of pair_pipeline._slot_cull_mask, f64, used by
+    probe_capacities to size tcap when tile_cull is on). Chunked over
+    gaussians so the [rect_max, chunk] enumeration stays ~100 MB."""
+    from eogs2_tpu.ops.pair_pipeline import _CULL_MARGIN
+    from eogs2_tpu.ops.projection import TILE
+
+    n = tiles.shape[0]
+    out = np.zeros((n,), np.int64)
+    rmax = int(tiles.max()) if n else 0
+    if rmax == 0:
+        return out
+    tau = 2.0 * np.log(np.maximum(opacity.astype(np.float64), 1e-30)
+                       * 255.0)
+    t = np.arange(rmax, dtype=np.int64)[:, None]
+    for lo_ in range(0, n, chunk):
+        hi_ = min(lo_ + chunk, n)
+        sl = slice(lo_, hi_)
+        rw = np.maximum(rsz[sl, 0], 1)[None, :]
+        ty = t // rw
+        tx = t - ty * rw
+        x0 = (rmin[sl, 0][None, :] + tx).astype(np.float64) * TILE
+        y0 = (rmin[sl, 1][None, :] + ty).astype(np.float64) * TILE
+        mx = mean2d[sl, 0][None, :].astype(np.float64)
+        my = mean2d[sl, 1][None, :].astype(np.float64)
+        a = conic[sl, 0][None, :].astype(np.float64)
+        b = conic[sl, 1][None, :].astype(np.float64)
+        c = conic[sl, 2][None, :].astype(np.float64)
+        lx, ux = mx - (x0 + TILE - 1.0), mx - x0
+        ly, uy = my - (y0 + TILE - 1.0), my - y0
+        inside = (lx <= 0) & (0 <= ux) & (ly <= 0) & (0 <= uy)
+
+        def q(dx, dy):
+            return a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
+
+        qm = np.minimum(
+            np.minimum(
+                np.minimum(q(lx, np.clip(-b * lx / np.where(c > 0, c, 1e-12), ly, uy)),
+                           q(ux, np.clip(-b * ux / np.where(c > 0, c, 1e-12), ly, uy))),
+                np.minimum(q(np.clip(-b * ly / np.where(a > 0, a, 1e-12), lx, ux), ly),
+                           q(np.clip(-b * uy / np.where(a > 0, a, 1e-12), lx, ux), uy)),
+            ),
+            np.minimum(np.minimum(q(lx, ly), q(lx, uy)),
+                       np.minimum(q(ux, ly), q(ux, uy))),
+        )
+        qmin = np.where(inside, 0.0, qm)
+        dead = np.where(np.isfinite(qmin),
+                        qmin > tau[sl][None, :] + _CULL_MARGIN,
+                        False)
+        active = (t < tiles[sl][None, :]) & ~dead
+        out[sl] = active.sum(axis=0)
+    return out
 
 
 def make_gates(cfg: TrainConfig, iteration: int, init_count: int) -> Dict[str, jnp.ndarray]:
@@ -852,8 +915,10 @@ class Trainer:
         views = self.scene.train_views
         if sample_views:
             views = views[:sample_views]
+        cull = self.raster_cfg.tile_cull
         max_tile = 0
         max_tiles_g = np.zeros((p.xyz.shape[0],), np.int64)
+        max_active_g = np.zeros((p.xyz.shape[0],), np.int64)
         for v in views:
             cam = v.camera
             w, h = cam.width, cam.height
@@ -866,6 +931,12 @@ class Trainer:
             rsz = np.asarray(prep.rect_size)
             tiles = np.asarray(prep.tiles_touched)
             max_tiles_g = np.maximum(max_tiles_g, tiles)
+            if cull:
+                act = _active_tiles_np(
+                    rmin, rsz, tiles, np.asarray(prep.mean2d),
+                    np.asarray(prep.conic), np.asarray(prep.opacity), gx,
+                )
+                max_active_g = np.maximum(max_active_g, act)
             # densest tile via 2-D difference array + cumsum (O(N + T))
             diff = np.zeros((gy + 1, gx + 1), np.int64)
             x0 = np.clip(rmin[:, 0], 0, gx)
@@ -889,30 +960,41 @@ class Trainer:
         def upm(x, m):
             return max(m, ((int(x) + m - 1) // m) * m)
 
-        srt = np.sort(max_tiles_g)[::-1]
+        # demand: what the bulk tcap must cover — ACTIVE tiles (post-cull)
+        # when tile_cull is on (rect_cap then covers the AABB), rect tiles
+        # otherwise. The big-tier SELECTION is always by rect tiles
+        # (matching _emission_tabs's top_k), so sort by rect and track the
+        # suffix maximum of the demand to know what any candidate bulk
+        # set's tcap must be.
+        demand_g = max_active_g if cull else max_tiles_g
+        order = np.argsort(-max_tiles_g, kind="stable")
+        srt = max_tiles_g[order]
+        dem_sorted = demand_g[order]
         n = len(srt)
+        suffix_dem = np.maximum.accumulate(dem_sorted[::-1])[::-1]
         # big_tcap: widest splat anywhere, multiple of 16 (not pow2 — at
         # 131k big-tier rows the pow2 jump 80->128 alone costs 6M table
         # rows); rebucket growth still doubles from here.
         big_tcap = upm(np.ceil(srt[0] * slack), 16)
         if big_k:
             big_k = min(big_k, n)
-            tcap = up(int(np.ceil(srt[big_k] * slack)) if big_k < n
-                      else int(srt[-1]), 4)
+            tcap = up(int(np.ceil(suffix_dem[big_k] * slack))
+                      if big_k < n else int(dem_sorted[-1]), 4)
         else:
             # joint search: for each candidate bulk tcap, the big tier
-            # must hold every splat that would overflow it (count with
+            # must hold every splat whose DEMAND would overflow it (with
             # slack applied, so early-training growth has headroom);
             # minimize total emission rows = sort cost, the dominant
             # stage (DESIGN section 10).
             best = None
+            need = np.ceil(suffix_dem * slack)
             for tc in (4, 8, 12, 16, 24, 32, 48, 64, 96, 128):
                 if tc >= big_tcap:
                     k_need = 0
                 else:
-                    k_need = int(np.searchsorted(
-                        -np.ceil(srt * slack), -tc, side="left"
-                    ))
+                    # smallest k with suffix demand (slacked) <= tc:
+                    # need is non-increasing, searchsorted on its negation
+                    k_need = int(np.searchsorted(-need, -tc, side="left"))
                 bk = 0 if k_need == 0 else min(up(k_need, 1024), n)
                 rows = n * tc + bk * (big_tcap if bk else 0)
                 if best is None or rows < best[0]:
@@ -921,15 +1003,28 @@ class Trainer:
             if not big_k:
                 big_tcap = 0
         kcap = upm(np.ceil(max_tile * slack), 512)
+        rect_cap = 0
+        if cull:
+            if not big_k:
+                bulk_rect = int(srt[0])  # bulk tier holds everyone
+            elif big_k < n:
+                bulk_rect = int(srt[big_k])  # widest splat outside top-k
+            else:
+                bulk_rect = 0  # every splat is in the big tier
+            rc_need = int(np.ceil(bulk_rect * slack))
+            if rc_need > tcap:
+                rect_cap = upm(rc_need, 8)
         self.raster_cfg = dataclasses.replace(
             self.raster_cfg, tile_capacity=kcap,
             max_tiles_per_gaussian=tcap, big_k=big_k, big_tcap=big_tcap,
+            rect_cap=rect_cap,
         )
         self._steps = {}
         rows = n * tcap + big_k * big_tcap
         print(f"probed capacities: K={kcap} (densest tile {max_tile}), "
-              f"tcap={tcap}, big=({big_k},{big_tcap}) "
-              f"(max splat {int(srt[0])} tiles, emission rows "
+              f"tcap={tcap}, big=({big_k},{big_tcap}), "
+              f"rect_cap={rect_cap} "
+              f"(max splat {int(srt[0])} rect tiles, emission rows "
               f"{rows / 1e6:.1f}M)")
         return self.raster_cfg
 
@@ -1221,6 +1316,19 @@ class Trainer:
                             rc.max_tiles_per_gaussian, lo=4
                         ),
                     )
+                if rc.rect_cap:
+                    # slot compaction: rect_cap must cover the widest
+                    # non-big AABB; grow proactively at 0.95 headroom
+                    # (beyond it, active tiles past rect_cap are never
+                    # enumerated and count as clipped)
+                    rmx = float(
+                        np.max(np.asarray(metrics.get("bulk_rect_max", 0.0)))
+                    )
+                    if rmx >= 0.95 * rc.rect_cap:
+                        grew = dataclasses.replace(
+                            grew or rc,
+                            rect_cap=_next_bucket(rc.rect_cap, lo=8),
+                        )
                 if rc.big_k:
                     # two-tier emission: the big tier has its own capacity
                     # (big_tcap vs the widest splat overall); the bulk

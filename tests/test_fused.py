@@ -5,6 +5,7 @@ backward, in interpret mode on the 8-virtual-device CPU harness."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from eogs2_tpu.rasterizer import RasterizeConfig, rasterize, reference_rasterize
 from tests.test_rasterizer import make_scene
@@ -230,3 +231,133 @@ def test_eogs_features_sort_diet_matches():
                         g0, g1):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    atol=1e-5, rtol=1e-4, err_msg=nm)
+
+
+def _aniso_scene(n=384, seed=31):
+    """Scene with strongly anisotropic splats so AABB rects have large
+    dead-corner fractions (the tile-cull target regime)."""
+    means, scales, quats, opac, feat, affine, bg = make_scene(n=n, seed=seed)
+    rng = np.random.RandomState(seed + 1)
+    s = np.asarray(scales).copy()
+    idx = rng.choice(n, n // 2, replace=False)
+    s[idx, 0] *= 6.0  # elongate one axis -> rotated thin ellipses
+    return (means, jnp.asarray(s), quats, opac, feat, affine, bg)
+
+
+@pytest.mark.parametrize("big_k", [0, 16])
+def test_tile_cull_exact(big_k):
+    """Ellipse-exact tile culling (round 5) is OUTPUT-EXACT: every culled
+    slot would have failed the kernels' own per-pixel keep test
+    (power<=0 & alpha>=1/255, the CUDA forward.cu/backward.cu skip).
+    Exactness is proven here in f64: EVERY culled slot's tile has zero
+    live pixels under the exact keep test. The full-path outputs then
+    match to fp-reassociation noise only (removing alpha=0 slots shifts
+    chunk boundaries, regrouping the (1-a) products; the image agrees to
+    ~1 ulp, gradients to the usual product-chain amplification) — while
+    the emitted pair count strictly drops on anisotropic scenes."""
+    from eogs2_tpu.ops.binning import grid_dims
+    from eogs2_tpu.ops.pair_pipeline import _tier_keys, cull_tau
+    from eogs2_tpu.ops.projection import (
+        TILE, compute_cov2d_direct, preprocess_gaussians)
+    args = _aniso_scene()
+    base = dict(binning_mode="fused", tile_capacity=512, tile_chunk=8,
+                max_tiles_per_gaussian=64, big_k=big_k, big_tcap=96)
+
+    def run(cfg):
+        def loss(means, scales, quats, opac, feat, affine):
+            out = rasterize(means, scales, quats, opac, feat, affine,
+                            args[6], 128, 128, cfg)
+            return (jnp.sum(out.image ** 2) + jnp.sum(out.final_t),
+                    (out.image, out.num_pairs, out.clipped_pairs))
+
+        (v, aux), g = jax.jit(
+            jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5),
+                               has_aux=True)
+        )(*args[:6])
+        return v, aux, g
+
+    # ---- f64 exactness proof: no culled slot has any live pixel ----
+    means, scales, quats, opac = args[:4]
+    cov2d = compute_cov2d_direct(scales, quats, args[5], 128, 128)
+    prep = preprocess_gaussians(means, None, opac, args[5], 128, 128,
+                                cov2d=cov2d)
+    gx, _gy = grid_dims(128, 128)
+    n_tiles = gx * _gy
+    tcap = base["max_tiles_per_gaussian"]
+    t_off, _, _ = _tier_keys(prep.rect_min, prep.rect_size, prep.depth,
+                             prep.tiles_touched, tcap, gx, n_tiles)
+    cull = (prep.mean2d, prep.conic, cull_tau(prep.opacity))
+    t_on, _, _ = _tier_keys(prep.rect_min, prep.rect_size, prep.depth,
+                            prep.tiles_touched, tcap, gx, n_tiles,
+                            cull=cull)
+    t_off = np.asarray(t_off).reshape(tcap, -1)
+    t_on = np.asarray(t_on).reshape(tcap, -1)
+    culled = np.argwhere(t_off != t_on)
+    assert len(culled) > 0
+    m64 = np.asarray(prep.mean2d, np.float64)
+    c64 = np.asarray(prep.conic, np.float64)
+    o64 = np.asarray(prep.opacity, np.float64)
+    tau64 = 2.0 * np.log(255.0 * o64)
+    for s_, g_ in culled:
+        tile = int(t_off[s_, g_])
+        ty, tx = tile // gx, tile % gx
+        px, py = np.meshgrid(tx * TILE + np.arange(TILE),
+                             ty * TILE + np.arange(TILE), indexing="xy")
+        dx, dy = m64[g_, 0] - px, m64[g_, 1] - py
+        a_, b_, c_ = c64[g_]
+        q = a_ * dx * dx + 2 * b_ * dx * dy + c_ * dy * dy
+        assert q.min() > tau64[g_], (g_, q.min(), tau64[g_])
+    # ---- full path: fp-reassociation noise only ----
+    v0, (img0, np0, cl0), g0 = run(RasterizeConfig(**base))
+    v1, (img1, np1, cl1), g1 = run(RasterizeConfig(**base, tile_cull=True))
+    np.testing.assert_allclose(img0, img1, atol=2e-6, rtol=1e-6)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-2)
+    assert int(np1) < int(np0), (int(np1), int(np0))
+    assert int(cl0) == 0 and int(cl1) == 0
+
+
+def test_rect_cap_compaction_exact():
+    """Slot compaction (rect_cap): with tcap sized by ACTIVE tiles and
+    rect_cap covering the AABB, outputs match the uncompacted uncull
+    baseline (fp-reassociation noise) while the table height tcap
+    shrinks."""
+    args = _aniso_scene(seed=37)
+    base = dict(binning_mode="fused", tile_capacity=512, tile_chunk=8,
+                big_k=16, big_tcap=96)
+
+    def run(cfg):
+        def loss(means, scales, quats, opac, feat, affine):
+            out = rasterize(means, scales, quats, opac, feat, affine,
+                            args[6], 128, 128, cfg)
+            return (jnp.sum(out.image ** 2) + jnp.sum(out.final_t),
+                    (out.image, out.max_tiles_per_gaussian_seen,
+                     out.clipped_pairs, out.bulk_rect_max_seen))
+
+        (v, aux), g = jax.jit(
+            jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5),
+                               has_aux=True)
+        )(*args[:6])
+        return v, aux, g
+
+    v0, (img0, _, cl0, _), g0 = run(
+        RasterizeConfig(**base, max_tiles_per_gaussian=64)
+    )
+    assert int(cl0) == 0
+    # probe pass: find the max ACTIVE bulk count under culling
+    _, (_, bulk_active_max, _, rect_max), _ = run(
+        RasterizeConfig(**base, max_tiles_per_gaussian=64, tile_cull=True)
+    )
+    tcap_active = int(bulk_active_max)
+    assert tcap_active < 64, tcap_active
+    v1, (img1, _, cl1, rect_seen), g1 = run(
+        RasterizeConfig(**base, max_tiles_per_gaussian=tcap_active,
+                        tile_cull=True, rect_cap=64)
+    )
+    assert int(cl1) == 0
+    assert int(rect_seen) <= 64
+    np.testing.assert_allclose(img0, img1, atol=2e-6, rtol=1e-6)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-2)

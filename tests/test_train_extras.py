@@ -1,5 +1,6 @@
 """Flow-matching training phase, color reset, and affine baking."""
 
+import dataclasses
 import os
 
 import numpy as np
@@ -613,3 +614,35 @@ def test_probe_capacities_joint_search(scene_dir):
     clipped = [float(np.max(np.asarray(m["clipped_pairs"])))
                for m in tr.metrics_history]
     assert max(clipped) == 0, clipped
+
+
+def test_probe_capacities_tile_cull(scene_dir):
+    """With tile_cull on, the probe sizes tcap from ACTIVE (post-cull)
+    tiles and sets rect_cap over the AABB; training stays clip-free and
+    the active-based table is never larger than the rect-based one."""
+    from eogs2_tpu.rasterizer import RasterizeConfig
+
+    scene = load_scene(scene_dir, images_msi_path=os.path.join(scene_dir, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(scene_dir, iterations=20)
+    cfg.logging.tb_log_interval = 10
+    tiny = RasterizeConfig(tile_capacity=128, tile_chunk=8,
+                           max_tiles_per_gaussian=4, binning_mode="fused",
+                           tile_cull=True)
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=tiny,
+                 auto_rebucket=False).setup()
+    n = tr.state.params.xyz.shape[0]
+    rc = tr.probe_capacities()
+    assert rc.tile_cull
+    rows_cull = n * rc.max_tiles_per_gaussian + rc.big_k * rc.big_tcap
+    tr2 = Trainer(cfg=cfg, scene=scene,
+                  raster_cfg=dataclasses.replace(tiny, tile_cull=False),
+                  auto_rebucket=False).setup()
+    rc2 = tr2.probe_capacities()
+    rows_rect = n * rc2.max_tiles_per_gaussian + rc2.big_k * rc2.big_tcap
+    assert rows_cull <= rows_rect, (rows_cull, rows_rect)
+    tr.train(progress=False)
+    clipped = [float(np.max(np.asarray(m["clipped_pairs"])))
+               for m in tr.metrics_history]
+    assert max(clipped) == 0, clipped
+    assert np.isfinite(tr.metrics_history[-1]["loss"])
