@@ -67,7 +67,12 @@ cfg.logging.tb_log_interval = 100
 # grows should be rare.
 rcfg = RasterizeConfig(tile_capacity=4096, tile_chunk=128,
                        max_tiles_per_gaussian=8, binning_mode="fused",
-                       early_exit=False, big_k=4096, big_tcap=64)
+                       early_exit=False, big_k=4096, big_tcap=64,
+                       # round 5: ellipse-exact tile culling + active-slot
+                       # compaction (output-exact; the probe sizes tcap by
+                       # ACTIVE tiles and rect_cap by the AABB, roughly
+                       # halving emission rows at this anisotropic init)
+                       tile_cull=True)
 tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg,
              auto_rebucket=True).setup()
 tr.probe_capacities()

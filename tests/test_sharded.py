@@ -284,3 +284,40 @@ def test_a2a_rasterout_contract(mesh):
     np.testing.assert_allclose(np.asarray(oa.mean2d_ndc),
                                np.asarray(os_.mean2d_ndc),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_a2a_probed_dest_cap(mesh, tmp_path):
+    """probe_capacities on the a2a backend sizes dest_cap from the exact
+    per-(chip, band) exchange demand (tight multiple of 128, not a pow2
+    bucket — the measured 8-device slack cliff, DESIGN section 10a): the
+    probed window must cover every observed window with zero drops, and
+    be far tighter than the pow2 bucket above the same demand."""
+    import os
+
+    from eogs2_tpu.config import baseogs
+    from eogs2_tpu.data.synthetic import generate_scene
+    from eogs2_tpu.scene import load_scene
+    from eogs2_tpu.train import Trainer
+
+    d = str(tmp_path / "scene")
+    generate_scene(d, n_views=3, width=32, height=32, hf_res=64,
+                   n_buildings=2, scale=8.0, seed=4)
+    scene = load_scene(d, images_msi_path=os.path.join(d, "images"),
+                       eval_split=True, load_pan=False)
+    cfg = baseogs(d, iterations=20)
+    cfg.logging.tb_log_interval = 10
+    rcfg = RasterizeConfig(pair_capacity=1 << 13, tile_capacity=128,
+                           tile_chunk=8, max_tiles_per_gaussian=8,
+                           dest_cap=1 << 15)
+    tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg, mesh=mesh,
+                 raster_backend="a2a", auto_rebucket=False).setup()
+    rc = tr.probe_capacities()
+    assert rc.dest_cap % 128 == 0
+    assert rc.dest_cap < 1 << 15, rc.dest_cap  # tighter than the default
+    tr.train(progress=False)
+    dropped = [float(np.max(np.asarray(m.get("dropped_pairs", 0.0))))
+               for m in tr.metrics_history]
+    assert max(dropped) == 0, dropped
+    mdc = max(float(np.max(np.asarray(m["max_dest_count"])))
+              for m in tr.metrics_history)
+    assert mdc <= rc.dest_cap, (mdc, rc.dest_cap)
