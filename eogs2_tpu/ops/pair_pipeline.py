@@ -197,13 +197,20 @@ def _tier_keys_compact(rect_min, rect_size, depth, tiles, tcap, rcap,
     return tile_tab, depth_tab, active_count
 
 
-def _emission_keys(prep: Preprocessed, width, height, tcap):
-    """Single-tier emission keys (see _tier_keys) for the [tcap, N] table."""
+def _emission_keys(prep: Preprocessed, width, height, tcap,
+                   tile_cull: bool = False):
+    """Single-tier emission keys (see _tier_keys) for the [tcap, N] table.
+
+    tile_cull: drop slots whose tile is provably below the 1/255 alpha
+    threshold at every pixel (_slot_cull_mask) — output-exact."""
     grid_x, grid_y = grid_dims(width, height)
     n_tiles = grid_x * grid_y
+    cull = None
+    if tile_cull:
+        cull = (prep.mean2d, prep.conic, cull_tau(prep.opacity))
     tile_tab, depth_tab, _ = _tier_keys(
         prep.rect_min, prep.rect_size, prep.depth, prep.tiles_touched,
-        tcap, grid_x, n_tiles,
+        tcap, grid_x, n_tiles, cull=cull,
     )
     return tile_tab, depth_tab, n_tiles
 

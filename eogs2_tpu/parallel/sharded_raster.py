@@ -235,6 +235,7 @@ def sharded_rasterize(
     mean2d_ndc_offset=None,
     interpret=None,
     col: bool = True,
+    tile_cull: bool = False,
 ):
     """Differentiable multi-chip render with Gaussians sharded over `axis`.
 
@@ -271,7 +272,8 @@ def sharded_rasterize(
             px_scale = jnp.array([0.5 * width, 0.5 * height], jnp.float32)
             prep = prep._replace(mean2d=prep.mean2d + m2d_off * px_scale)
         tile_tab, depth_tab, _ = _emission_keys(
-            jax.tree.map(jax.lax.stop_gradient, prep), width, height, tcap
+            jax.tree.map(jax.lax.stop_gradient, prep), width, height, tcap,
+            tile_cull=tile_cull,
         )
         pay_cols = tuple(
             emission_broadcast(c, tcap)
@@ -375,7 +377,7 @@ def rasterize_a2a(
         width, hp, tcap=config.max_tiles_per_gaussian,
         dest_cap=config.dest_cap, tile_capacity=config.tile_capacity,
         k_chunk=k_chunk, axis=axis, mean2d_ndc_offset=mean2d_ndc_offset,
-        col=config.payload_col,
+        col=config.payload_col, tile_cull=config.tile_cull,
     )
     # shard_fn computes mean2d_ndc with the PADDED canvas height hp, but
     # the single-chip contract (rasterizer.py mean2d_ndc) uses the true

@@ -321,3 +321,29 @@ def test_a2a_probed_dest_cap(mesh, tmp_path):
     mdc = max(float(np.max(np.asarray(m["max_dest_count"])))
               for m in tr.metrics_history)
     assert mdc <= rc.dest_cap, (mdc, rc.dest_cap)
+
+
+def test_a2a_tile_cull_matches_single(mesh):
+    """rasterize_a2a with the round-5 tile cull matches the single-chip
+    culled render — backend parity for the output-exact emission cull."""
+    import dataclasses
+
+    from eogs2_tpu.parallel.sharded_raster import rasterize_a2a
+
+    means, scales, quats, opac, feat, alive, affine, bg = _args()
+    cfg = RasterizeConfig(tile_capacity=256, tile_chunk=16,
+                          max_tiles_per_gaussian=16, binning_mode="fused",
+                          tile_cull=True, dest_cap=1 << 12)
+    oa = rasterize_a2a(mesh, means, scales, quats, opac, feat, affine, bg,
+                       W, H, cfg, alive=alive)
+    out = rasterize(means, scales, quats, opac, feat, affine, bg, W, H,
+                    cfg, alive=alive)
+    assert int(oa.dropped_pairs) == 0
+    np.testing.assert_allclose(
+        np.asarray(oa.image), np.asarray(out.image), atol=5e-5, rtol=1e-4
+    )
+    # the cull actually removed pairs on both backends
+    cfg0 = dataclasses.replace(cfg, tile_cull=False)
+    oa0 = rasterize_a2a(mesh, means, scales, quats, opac, feat, affine, bg,
+                        W, H, cfg0, alive=alive)
+    assert int(oa.num_pairs) < int(oa0.num_pairs)
