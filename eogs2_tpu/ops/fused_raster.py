@@ -873,7 +873,7 @@ class FusedOut(NamedTuple):
 
 
 def _emission_tabs(prep, width, height, tcap, big_k, big_tcap,
-                   tile_cull=False, rect_cap=0):
+                   tile_cull=False, rect_cap=0, big_rect_cap=0):
     """Two-tier emission tables.
 
     The dense single-tier [tcap, N] emission sizes EVERY gaussian's row
@@ -957,19 +957,35 @@ def _emission_tabs(prep, width, height, tcap, big_k, big_tcap,
     b_tile, b_depth, b_active = bulk_keys(
         prep.rect_min, prep.rect_size, prep.depth, bulk_tiles, cull,
     )
-    g_tile, g_depth, _ = _tier_keys(
-        prep.rect_min[big_i], prep.rect_size[big_i], prep.depth[big_i],
-        big_tiles, big_tcap, grid_x, n_tiles, cull=big_cull,
-    )
+    big_rcap = max(big_rect_cap, big_tcap)
+    if big_rcap > big_tcap:
+        # big-tier compaction: big_tcap sized by the outliers' ACTIVE
+        # tiles, big_rect_cap over their AABB (the rank-select pass is
+        # big_tcap x big_rcap x big_k ops — fine at these shapes)
+        g_tile, g_depth, g_active = _tier_keys_compact(
+            prep.rect_min[big_i], prep.rect_size[big_i], prep.depth[big_i],
+            big_tiles, big_tcap, big_rcap, grid_x, n_tiles, big_cull,
+        )
+        big_demand = g_active
+        big_overflow = (jnp.sum(jnp.maximum(g_active - big_tcap, 0))
+                        + jnp.sum(jnp.maximum(big_tiles - big_rcap, 0)))
+    else:
+        g_tile, g_depth, _ = _tier_keys(
+            prep.rect_min[big_i], prep.rect_size[big_i], prep.depth[big_i],
+            big_tiles, big_tcap, grid_x, n_tiles, cull=big_cull,
+        )
+        # uncompacted big slots enumerate RECT positions, so the cap's
+        # demand is the rect width even under culling
+        big_demand = big_tiles
+        big_overflow = jnp.sum(jnp.maximum(big_tiles - big_tcap, 0))
     tile_tab = jnp.concatenate([b_tile, g_tile])
     depth_tab = jnp.concatenate([b_depth, g_depth])
     bulk_demand = b_active if (compact or tile_cull) else bulk_tiles
-    clipped = (jnp.sum(jnp.maximum(bulk_demand - tcap, 0))
-               + jnp.sum(jnp.maximum(big_tiles - big_tcap, 0)))
+    clipped = (jnp.sum(jnp.maximum(bulk_demand - tcap, 0)) + big_overflow)
     if compact:
         clipped = clipped + jnp.sum(jnp.maximum(bulk_tiles - rcap, 0))
     return (tile_tab, depth_tab, big_i.astype(jnp.float32), n_tiles,
-            clipped, jnp.max(bulk_demand), jnp.max(tiles),
+            clipped, jnp.max(bulk_demand), jnp.max(big_demand),
             jnp.max(bulk_tiles))
 
 
@@ -1188,6 +1204,7 @@ def rasterize_fused(
     eogs_features: bool = False,
     tile_cull: bool = False,
     rect_cap: int = 0,
+    big_rect_cap: int = 0,
 ):
     """Differentiable fused path. Returns FusedOut (out8 pre-background).
 
@@ -1212,7 +1229,7 @@ def rasterize_fused(
     (tile_tab, depth_tab, big_idx, n_tiles, clipped, bulk_max,
      big_max, bulk_rect_max) = _emission_tabs(
         prep_keys, width, height, tcap, big_k, big_tcap,
-        tile_cull=tile_cull, rect_cap=rect_cap,
+        tile_cull=tile_cull, rect_cap=rect_cap, big_rect_cap=big_rect_cap,
     )
     pay_cols = (
         prep.mean2d[:, 0], prep.mean2d[:, 1],

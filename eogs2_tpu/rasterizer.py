@@ -102,6 +102,11 @@ class RasterizeConfig:
     # positions). rect_cap must cover the widest non-big AABB
     # (bulk_rect_max_seen watches it).
     rect_cap: int = 0
+    # same compaction for the BIG tier: big_tcap is then sized by the
+    # outliers' ACTIVE tiles while big_rect_cap covers their AABB (a
+    # mid-training 121-rect-tile splat has ~3x fewer live tiles; without
+    # this the big tier's rows triple). 0 disables.
+    big_rect_cap: int = 0
 
     def bucketed(self, max_tile: int, max_tiles_per_gaussian: int,
                  big_max_tiles: int = 0) -> "RasterizeConfig":
@@ -251,6 +256,7 @@ def rasterize(
             eogs_features=config.eogs_features,
             tile_cull=config.tile_cull,
             rect_cap=config.rect_cap,
+            big_rect_cap=config.big_rect_cap,
         )
         out = fo.out8[:, :, :5] + fo.out8[:, :, 5:6] * bg[None, None, :]
         final_t = fo.out8[:, :, 5]

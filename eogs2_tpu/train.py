@@ -750,6 +750,10 @@ class Trainer:
     # OOM during early-training splat widening. False = plain bucket steps
     # (the prewarm ladder then predicts the exact next configs).
     reprobe_on_grow: bool = True
+    # hard emission-row ceiling for probe_capacities (OOM guard: an
+    # 86M-row table exceeded the 16 GB HBM at compile); beyond it the big
+    # tier's cap is clamped and the overflow clips LOUDLY instead
+    probe_row_budget: int = 64_000_000
     # auto-pick the fused kernels' chunk-granular early exit from the
     # observed pixel saturation (sat_frac metric): ON when most pixels'
     # transmittance dies (opaque converged scenes — the exit skips real
@@ -1016,8 +1020,17 @@ class Trainer:
         suffix_dem = np.maximum.accumulate(dem_sorted[::-1])[::-1]
         # big_tcap: widest splat anywhere, multiple of 16 (not pow2 — at
         # 131k big-tier rows the pow2 jump 80->128 alone costs 6M table
-        # rows); rebucket growth still doubles from here.
-        big_tcap = upm(np.ceil(srt[0] * slack), 16)
+        # rows); rebucket growth still doubles from here. Under culling
+        # the big tier compacts too (big_rect_cap covers the AABB), so
+        # its cap is sized by the widest ACTIVE count — a mid-training
+        # 121-rect-tile outlier has ~3x fewer live tiles.
+        big_rect = int(upm(np.ceil(srt[0] * slack), 16))
+        if cull:
+            big_tcap = int(upm(np.ceil(max(int(max_active_g.max()), 1)
+                                       * slack), 16))
+            big_tcap = min(big_tcap, big_rect)
+        else:
+            big_tcap = big_rect
         if big_k:
             big_k = min(big_k, n)
             tcap = up(int(np.ceil(suffix_dem[big_k] * slack))
@@ -1044,6 +1057,21 @@ class Trainer:
             _, tcap, big_k = best
             if not big_k:
                 big_tcap = 0
+        # hard row budget (OOM guard): an 86M-row table exceeded HBM at
+        # compile (round 5); clamp the big tier's cap before that happens
+        # and let the loud clip metric + reprobe catch the consequences.
+        budget = self.probe_row_budget
+        if n * tcap > budget:
+            tcap = max(4, int(budget // n) // 4 * 4)
+            print(f"probe: row budget {budget / 1e6:.0f}M clamps bulk "
+                  f"tcap to {tcap} — expect clipping")
+        if big_k and n * tcap + big_k * big_tcap > budget:
+            fit = max(16, int((budget - n * tcap) // big_k) // 16 * 16)
+            if fit < big_tcap:
+                print(f"probe: row budget {budget / 1e6:.0f}M clamps "
+                      f"big_tcap {big_tcap}->{fit} — the widest splats' "
+                      f"tails will clip (counted in clipped_pairs)")
+                big_tcap = fit
         kcap = upm(np.ceil(max_tile * slack), 512)
         rect_cap = 0
         if cull:
@@ -1059,6 +1087,8 @@ class Trainer:
         updates = dict(
             tile_capacity=kcap, max_tiles_per_gaussian=tcap, big_k=big_k,
             big_tcap=big_tcap, rect_cap=rect_cap,
+            big_rect_cap=(big_rect if (cull and big_k
+                                       and big_rect > big_tcap) else 0),
         )
         if max_dest:
             # tight multiple-of-128 window instead of a pow2 bucket: the
@@ -1069,7 +1099,8 @@ class Trainer:
         rows = n * tcap + big_k * big_tcap
         print(f"probed capacities: K={kcap} (densest tile {max_tile}), "
               f"tcap={tcap}, big=({big_k},{big_tcap}), "
-              f"rect_cap={rect_cap}"
+              f"rect_cap={rect_cap}, "
+              f"big_rect_cap={updates['big_rect_cap']}"
               + (f", dest_cap={updates['dest_cap']}" if max_dest else "")
               + f" (max splat {int(srt[0])} rect tiles, emission rows "
               f"{rows / 1e6:.1f}M)")
@@ -1477,6 +1508,18 @@ class Trainer:
                             grew = dataclasses.replace(
                                 grew or rc, dest_cap=new_cap,
                             )
+                if grew is None:
+                    # catch-all: ANY clipping under auto_rebucket forces a
+                    # reprobe, covering capacity dimensions without a
+                    # dedicated 0.95-headroom trigger (e.g. rect overflow
+                    # past big_rect_cap under big-tier compaction)
+                    nclip_g = float(
+                        np.max(np.asarray(metrics.get("clipped_pairs", 0)))
+                    )
+                    if nclip_g > 0 and self.reprobe_on_grow:
+                        print(f"[{iteration}] {int(nclip_g)} clipped pairs "
+                              f"under auto_rebucket — reprobing capacities")
+                        grew = rc
                 if grew is not None:
                     if self.reprobe_on_grow:
                         # re-size ALL capacities from the live state (the
@@ -1490,6 +1533,7 @@ class Trainer:
                         # against big_tcap and keeps the table minimal.
                         # Slack 1.5 (vs 1.2 at init) so steady widening
                         # re-triggers every ~40% growth, not every 50 its.
+                        saved_steps = self._steps
                         probed = self.probe_capacities(slack=1.5)
                         # never land below the single-dim growth floor the
                         # trigger asked for (probe covers the live maxima,
@@ -1498,7 +1542,15 @@ class Trainer:
                             probed,
                             dest_cap=max(probed.dest_cap, grew.dest_cap),
                         )
-                        grew = self.raster_cfg
+                        if self.raster_cfg == rc:
+                            # demand didn't move the config (e.g. the row
+                            # budget clamps it): keep the compiled steps,
+                            # don't churn rebuilds every check interval
+                            self._steps = saved_steps
+                            grew = None
+                        else:
+                            grew = self.raster_cfg
+                if grew is not None:
                     print(
                         f"[{iteration}] rebucketing rasterizer capacities: "
                         f"K {rc.tile_capacity}->{grew.tile_capacity}, "

@@ -126,6 +126,12 @@ def main():
         for n_dev in (1, 2, 4, 8):
             mesh = make_mesh(n_dev)
             tr = build(d, img, 400, "a2a", mesh, dest_cap=1 << 15)
+            # round 5: demand-probed capacities incl. the tight
+            # multiple-of-128 dest_cap (the pow2 slack was the 8-device
+            # cliff of the round-4 curve)
+            rc = tr.probe_capacities()
+            print(f"  mesh({n_dev}) probed dest_cap={rc.dest_cap}",
+                  flush=True)
             tr.train(max_iterations=30, progress=False)
             t0 = time.perf_counter()
             tr.train(max_iterations=60, progress=False)
@@ -138,6 +144,7 @@ def main():
     for backend in ("gspmd", "a2a"):
         mesh = make_mesh(1)
         tr = build(d, img, 400, backend, mesh, dest_cap=1 << 15)
+        tr.probe_capacities()
         tr.train(max_iterations=60, progress=False)  # compile+warm
         t0 = time.perf_counter()
         tr.train(max_iterations=200, progress=False)

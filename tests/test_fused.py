@@ -361,3 +361,48 @@ def test_rect_cap_compaction_exact():
     np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-2)
+
+
+def test_big_rect_cap_compaction_exact():
+    """Big-tier slot compaction (big_rect_cap): outputs match the
+    uncompacted baseline (fp-reassociation noise) with big_tcap sized by
+    the outliers' ACTIVE tiles."""
+    args = _aniso_scene(seed=43)
+    base = dict(binning_mode="fused", tile_capacity=512, tile_chunk=8,
+                max_tiles_per_gaussian=32, big_k=96)
+
+    def run(cfg):
+        def loss(means, scales, quats, opac, feat, affine):
+            out = rasterize(means, scales, quats, opac, feat, affine,
+                            args[6], 128, 128, cfg)
+            return (jnp.sum(out.image ** 2) + jnp.sum(out.final_t),
+                    (out.image, out.big_max_tiles_seen, out.clipped_pairs))
+
+        (v, aux), g = jax.jit(
+            jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5),
+                               has_aux=True)
+        )(*args[:6])
+        return v, aux, g
+
+    v0, (img0, big_rect_max, cl0), g0 = run(
+        RasterizeConfig(**base, big_tcap=96)
+    )
+    assert int(cl0) == 0
+    # probe the outliers' max ACTIVE count under culling + compaction:
+    # with a huge big_tcap the compacted demand (big_max_tiles_seen) is
+    # the true active maximum
+    _, (_, big_active_max, _), _ = run(
+        RasterizeConfig(**base, big_tcap=96, tile_cull=True,
+                        big_rect_cap=128)
+    )
+    bt = int(big_active_max)
+    assert bt < int(big_rect_max), (bt, int(big_rect_max))
+    v1, (img1, _, cl1), g1 = run(
+        RasterizeConfig(**base, big_tcap=bt, tile_cull=True,
+                        big_rect_cap=128)
+    )
+    assert int(cl1) == 0
+    np.testing.assert_allclose(img0, img1, atol=2e-6, rtol=1e-6)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-2)

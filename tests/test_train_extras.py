@@ -667,7 +667,11 @@ def test_prewarm_bucket_ladder_cache_reuse(scene_dir, tmp_path):
                            eval_split=True, load_pan=False)
         cfg = baseogs(scene_dir, iterations=8)
         cfg.logging.tb_log_interval = 4
-        rcfg = RasterizeConfig(tile_capacity=128, tile_chunk=8,
+        # deliberately unusual capacities: if ANY other test compiled the
+        # same step HLO first, the in-process executable cache serves it
+        # and no persistent-cache file is written (the suite-order flake
+        # this test had in round 5)
+        rcfg = RasterizeConfig(tile_capacity=120, tile_chunk=8, k_chunk=24,
                                max_tiles_per_gaussian=8,
                                binning_mode="fused", big_k=8, big_tcap=16)
         tr = Trainer(cfg=cfg, scene=scene, raster_cfg=rcfg,
