@@ -682,15 +682,31 @@ def test_prewarm_bucket_ladder_cache_reuse(scene_dir, tmp_path):
         tr.prewarm_bucket_ladder()
         before = set(os.listdir(cache))
         assert before, "prewarm wrote no cache entries"
-        # simulate the rebucket grow: same rebuild the trainer does
+        # simulate the rebucket grow: rebuild + compile EXACTLY the grown
+        # step (a fresh jit object, so the in-process jit cache can't
+        # serve it — the persistent cache is the only dedup layer; a MISS
+        # would write a new cache file). train() is deliberately NOT used
+        # here: its aux programs (eval, maintenance) write cache entries
+        # whose presence depends on what ran earlier in the session.
+        import jax.numpy as jnp
+        from eogs2_tpu.train import make_gates, phase_for_iteration
+
         tr.raster_cfg = grown
         tr._steps = {}
-        tr.train(progress=False)
+        phase = phase_for_iteration(tr.cfg, 1)
+        step = tr._get_step(phase)
+        absargs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(
+                jnp.asarray(x).shape, jnp.asarray(x).dtype
+            ),
+            (tr.state, jnp.int32(0), jax.random.PRNGKey(0),
+             make_gates(tr.cfg, 1, tr.init_count)),
+        )
+        step.lower(*absargs).compile()
         after = set(os.listdir(cache))
         new = after - before
         assert not new, (
             f"grown-step compile missed the prewarmed cache: {new}"
         )
-        assert len(tr.step_build_times) >= 1
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
