@@ -183,6 +183,11 @@ class TSDFVolume:
             w_imgs = jax.device_put(w_imgs, rep_sh)
         ndev = 1 if self.mesh is None else self.mesh.size
         slab = max(ndev, (self.slab_voxels // ndev) * ndev)
+        # never let the slab exceed the (device-padded) volume: padding
+        # the one-and-only slab up to a huge slab_voxels would allocate
+        # slab-sized pad arrays (observed: a 1<<30 request on a 138k-voxel
+        # volume built ~13 GB of pads)
+        slab = min(slab, ((n + ndev - 1) // ndev) * ndev)
         outs_t, outs_w = [], []
         for lo in range(0, n, slab):
             hi = min(lo + slab, n)
