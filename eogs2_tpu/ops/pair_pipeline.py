@@ -180,13 +180,19 @@ def _tier_keys_compact(rect_min, rect_size, depth, tiles, tcap, rcap,
     active = r < jnp.minimum(tiles, rcap)[None, :]
     if cull is not None:
         active = active & ~_slot_cull_mask(rect_min, rx, ry, cull)
-    rank = jnp.cumsum(active.astype(jnp.int32), axis=0)  # [rcap, M]
-    active_count = rank[-1]
-    sel = []
-    for s in range(tcap):
-        hit = active & (rank == (s + 1))
-        sel.append(jnp.sum(jnp.where(hit, tile_id, 0), axis=0))
-    tile_sel = jnp.stack(sel)  # [tcap, M]
+    active_count = jnp.sum(active.astype(jnp.int32), axis=0)
+    # per-column compaction as ONE small-axis sort: key = slot index with
+    # inactive slots pushed past rcap, so each column's surviving tiles
+    # pack into the first slots in rect row-major order. (A rank-select
+    # loop here — tcap masked reduces over [rcap, M] — was O(tcap*rcap*M)
+    # with XLA materializing every pass: measured ~40 s/step at the
+    # mid-training big tier, vs ~log^2(rcap) vectorized compare-exchange
+    # passes for the sort.)
+    key = jnp.where(active, r, rcap)
+    _, tile_sel = jax.lax.sort(
+        (key.astype(jnp.int32), tile_id), dimension=0, num_keys=1
+    )
+    tile_sel = tile_sel[:tcap]
     valid = jnp.arange(tcap, dtype=jnp.int32)[:, None] < jnp.minimum(
         active_count, tcap
     )[None, :]
